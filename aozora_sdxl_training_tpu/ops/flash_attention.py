@@ -1,0 +1,315 @@
+"""Pallas TPU flash attention (forward + backward), UNet/DiT-shaped.
+
+Blockwise exact attention with online softmax, written for the shapes this
+framework actually runs (replacing the reference's flash-attn CUDA wheel,
+/root/reference/setup.bat:25-28 and the sdpa/xformers switch at
+train.py:197-229):
+
+* SDXL self-attention:  Sq = Skv up to ~9216 tokens (1536px bucket), D=64;
+* SDXL cross-attention: short KV (77 x caption chunks), long Q;
+* Anima DiT:            (t h w) flattened video tokens, D=128.
+
+Layout: inputs arrive (B, S, H, D), are transposed to (B*H, S, D), and each
+(batch*head, q-block) program streams KV blocks through VMEM, keeping the
+running max / sum / accumulator in fp32 scratch.  The backward pass is two
+kernels (dQ with the KV loop innermost; dK/dV with the Q loop innermost)
+that recompute probabilities from the saved row logsumexp — the standard
+flash recomputation, so residual memory is O(S) not O(S^2).
+
+Softmax statistics and all accumulation are fp32 regardless of input dtype;
+matmuls run on the MXU via ``preferred_element_type=float32``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref, *, scale: float, kv_valid: int,
+                block_k: int, num_k_blocks: int):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]                     # (BQ, D)
+    k = k_ref[0]                     # (BK, D)
+    v = v_ref[0]                     # (BK, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (BQ, BK)
+
+    # mask padded KV columns
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+    s = jnp.where(col < kv_valid, s, NEG_INF)
+
+    m_prev = m_ref[:]                                  # (BQ, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                             # (BQ, BK) fp32
+    l_new = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _():
+        l = l_ref[:]
+        safe_l = jnp.maximum(l, 1e-30)
+        o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:] + jnp.log(safe_l))[:, 0]
+
+
+def _flash_forward(q3, k3, v3, *, scale: float, kv_valid: int,
+                   block_q: int, block_k: int):
+    """q3: (BH, Sq, D); k3, v3: (BH, Sk, D) — padded to block multiples."""
+    bh, sq, d = q3.shape
+    sk = k3.shape[1]
+    nq, nk = sq // block_q, sk // block_k
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, kv_valid=kv_valid, block_k=block_k,
+        num_k_blocks=nk)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q), lambda b, iq, ik: (b, iq)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
+            jax.ShapeDtypeStruct((bh, sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+    )(q3, k3, v3)
+    return out, lse
+
+
+# --------------------------------------------------------------------------
+# Backward
+# --------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_acc, *, scale: float, kv_valid: int, block_k: int,
+                   num_k_blocks: int):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, None]       # (BQ, 1)
+    delta = delta_ref[0][:, None]   # (BQ, 1)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+    s = jnp.where(col < kv_valid, s, NEG_INF)
+    p = jnp.exp(s - lse)                                       # (BQ, BK)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale                               # (BQ, BK)
+    dq_acc[:] += jax.lax.dot_general(ds.astype(k.dtype), k,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
+                    kv_valid: int, block_k: int, num_q_blocks: int):
+    ik = pl.program_id(1)
+    iq = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+    s = jnp.where(col < kv_valid, s, NEG_INF)
+    p = jnp.exp(s - lse)                                       # (BQ, BK)
+    # dV += P^T dO
+    dv_acc[:] += jax.lax.dot_general(p.astype(do.dtype), do,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    # dK += dS^T Q
+    dk_acc[:] += jax.lax.dot_general(ds.astype(q.dtype), q,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(iq == num_q_blocks - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q3, k3, v3, o3, lse, do3, *, scale: float, kv_valid: int,
+                    block_q: int, block_k: int):
+    bh, sq, d = q3.shape
+    sk = k3.shape[1]
+    nq, nk = sq // block_q, sk // block_k
+
+    delta = jnp.sum(do3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_valid=kv_valid,
+                          block_k=block_k, num_k_blocks=nk),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q), lambda b, iq, ik: (b, iq)),
+            pl.BlockSpec((1, block_q), lambda b, iq, ik: (b, iq)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )(q3, k3, v3, do3, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, kv_valid=kv_valid,
+                          block_k=block_k, num_q_blocks=nq),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_q), lambda b, ik, iq: (b, iq)),
+            pl.BlockSpec((1, block_q), lambda b, ik, iq: (b, iq)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sk, d), k3.dtype),
+            jax.ShapeDtypeStruct((bh, sk, d), v3.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+    )(q3, k3, v3, do3, lse, delta)
+
+    return dq, dk, dv
+
+
+# --------------------------------------------------------------------------
+# Public entry with custom VJP
+# --------------------------------------------------------------------------
+
+def _pick_blocks(sq: int, sk: int) -> tuple[int, int]:
+    bq = min(DEFAULT_BLOCK_Q, _round_up(sq, 128))
+    bk = min(DEFAULT_BLOCK_K, _round_up(sk, 128))
+    return bq, bk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_core(q3, k3, v3, scale, kv_valid, blocks):
+    out, _ = _flash_forward(q3, k3, v3, scale=scale, kv_valid=kv_valid,
+                            block_q=blocks[0], block_k=blocks[1])
+    return out
+
+
+def _flash_core_fwd(q3, k3, v3, scale, kv_valid, blocks):
+    out, lse = _flash_forward(q3, k3, v3, scale=scale, kv_valid=kv_valid,
+                              block_q=blocks[0], block_k=blocks[1])
+    return out, (q3, k3, v3, out, lse)
+
+
+def _flash_core_bwd(scale, kv_valid, blocks, res, g):
+    q3, k3, v3, out, lse = res
+    dq, dk, dv = _flash_backward(q3, k3, v3, out, lse, g, scale=scale,
+                                 kv_valid=kv_valid, block_q=blocks[0],
+                                 block_k=blocks[1])
+    return dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    scale: float | None = None) -> jax.Array:
+    """Exact attention. q: (B, Sq, H, D); k, v: (B, Skv, H, D)."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    scale = (d ** -0.5) if scale is None else scale
+    block_q, block_k = _pick_blocks(sq, skv)
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(skv, block_k)
+
+    def to3(x, s_pad):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
+        if s_pad != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
+        return x
+
+    q3 = to3(q, sq_pad)
+    k3 = to3(k, sk_pad)
+    v3 = to3(v, sk_pad)
+
+    out = _flash_core(q3, k3, v3, scale, skv, (block_q, block_k))
+    out = out[:, :sq].reshape(b, h, sq, d)
+    return jnp.transpose(out, (0, 2, 1, 3))

@@ -1,0 +1,150 @@
+"""Jitted SDXL train step factory: micro-step + optimizer step.
+
+Mirrors the reference's hot loop (/root/reference/train.py:2708-2828) as two
+compiled functions instead of an eager autograd loop:
+
+* ``micro_step`` — fwd + bwd of one micro-batch, accumulating ``grads / GA``
+  into a persistent device buffer (the analogue of ``(loss/GA).backward()``,
+  train.py:2765).  Noise and RF jitter are derived *inside* jit from
+  (seed, micro_step) fold-in chains, so the step is a pure function of its
+  inputs and bit-reproducible on resume.  One executable per bucket shape.
+* ``apply_step`` — global-norm clip + Raven-semantics AdamW on the
+  accumulated grads (train.py:2771-2785), donated buffers, LR as a traced
+  scalar so the visual LR curve never recompiles.
+
+Parameters are split into trainable/frozen dicts (keyword freeze,
+train.py:2664-2667); gradients exist only for the trainable subset.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..models.sdxl.arch import UNetConfig
+from ..models.sdxl.unet import unet_forward
+from ..opt import adamw
+from . import objectives
+
+Params = dict[str, jax.Array]
+
+
+def split_trainable(params: Params, exclude_keywords: list[str]):
+    """Split the flat param dict by the reference's fnmatch freeze rule:
+    a param is FROZEN iff any keyword matches (kw if it has a '*' else *kw*).
+    """
+    trainable, frozen = {}, {}
+    for name, p in params.items():
+        excluded = any(
+            fnmatch.fnmatch(name, kw if "*" in kw else f"*{kw}*")
+            for kw in exclude_keywords)
+        (frozen if excluded else trainable)[name] = p
+    return trainable, frozen
+
+
+@dataclass(frozen=True)
+class TrainStepConfig:
+    unet: UNetConfig
+    prediction_type: str = "v_prediction"  # epsilon | v_prediction | rectified_flow
+    grad_accum_steps: int = 1
+    clip_grad_norm: float = 1.0
+    attn_impl: str = "xla"
+    compute_dtype: Any = jnp.bfloat16
+    remat: bool = True
+
+
+def make_loss_fn(cfg: TrainStepConfig):
+    def loss_fn(trainable: Params, frozen: Params, latents, embeds, pooled,
+                time_ids, timesteps, loss_weights, seed, micro_step):
+        params = {**frozen, **trainable}
+        noise = objectives.noise_for_step(seed, micro_step, latents.shape)
+        rf_jitter = (objectives.rf_jitter_for_step(seed, micro_step,
+                                                   latents.shape[0])
+                     if cfg.prediction_type == "rectified_flow" else None)
+        noisy, target, t_cond, sigma = objectives.prepare_batch(
+            cfg.prediction_type, latents, noise, timesteps, rf_jitter)
+        pred = unet_forward(
+            params, noisy.astype(cfg.compute_dtype), t_cond, embeds, pooled,
+            time_ids, cfg=cfg.unet, attn_impl=cfg.attn_impl,
+            compute_dtype=cfg.compute_dtype, remat=cfg.remat)
+        loss = objectives.weighted_mse_loss(pred, target, timesteps, loss_weights)
+        return loss, sigma
+
+    return loss_fn
+
+
+def make_micro_step(cfg: TrainStepConfig):
+    """micro_step(trainable, frozen, grad_accum, batch..., keep) ->
+    (loss, sigma0, new_grad_accum).
+
+    ``keep`` is 1.0 mid-accumulation-window and 0.0 on the first micro-step
+    of a window (replaces ``zero_grad`` with a fused multiply-add).
+    """
+    loss_fn = make_loss_fn(cfg)
+    inv_ga = 1.0 / float(cfg.grad_accum_steps)
+
+    def micro_step(trainable, frozen, grad_accum, latents, embeds, pooled,
+                   time_ids, timesteps, loss_weights, seed, micro_step_idx,
+                   keep):
+        (loss, sigma), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, latents, embeds, pooled, time_ids, timesteps,
+            loss_weights, seed, micro_step_idx)
+        new_accum = jax.tree.map(
+            lambda a, g: a * keep + g.astype(jnp.float32) * inv_ga,
+            grad_accum, grads)
+        return loss, sigma[0], new_accum
+
+    return micro_step
+
+
+def make_apply_step(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig):
+    """apply_step(trainable, grad_accum, opt_state, lr) ->
+    (new_trainable, new_opt_state, raw_grad_norm)."""
+
+    def apply_step(trainable, grad_accum, opt_state, lr):
+        clipped, raw_norm = adamw.clip_by_global_norm(
+            grad_accum, cfg.clip_grad_norm)
+        new_params, new_state = adamw.apply_updates(
+            trainable, clipped, opt_state, opt_cfg, lr=lr)
+        return new_params, new_state, raw_norm
+
+    return apply_step
+
+
+def zero_grad_accum(trainable: Params) -> Params:
+    return jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
+
+
+def jit_train_functions(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig,
+                        *, shardings: dict | None = None):
+    """Compile micro_step and apply_step with donated buffers.
+
+    ``shardings`` (optional) carries NamedShardings for {trainable, frozen,
+    grad_accum, opt_state, batch leaves} when running over a mesh; None means
+    single-device defaults.
+    """
+    micro = make_micro_step(cfg)
+    apply_ = make_apply_step(cfg, opt_cfg)
+
+    micro_kw: dict = dict(donate_argnums=(2,))
+    apply_kw: dict = dict(donate_argnums=(0, 1, 2))
+    if shardings:
+        sh_t = shardings["trainable"]
+        sh_f = shardings["frozen"]
+        sh_g = shardings["grad_accum"]
+        sh_o = shardings["opt_state"]
+        sh_b = shardings["batch"]      # sharding for (B, ...) leaves
+        sh_r = shardings["replicated"]
+        micro_kw["in_shardings"] = (
+            sh_t, sh_f, sh_g, sh_b, sh_b, sh_b, sh_b, sh_b, sh_r, sh_r, sh_r,
+            sh_r)
+        micro_kw["out_shardings"] = (sh_r, sh_r, sh_g)
+        apply_kw["in_shardings"] = (sh_t, sh_g, sh_o, sh_r)
+        apply_kw["out_shardings"] = (sh_t, sh_o, sh_r)
+
+    return (jax.jit(micro, **micro_kw), jax.jit(apply_, **apply_kw))

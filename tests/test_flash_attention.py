@@ -1,0 +1,92 @@
+"""Flash-attention kernel vs XLA reference (forward + gradients).
+
+Runs in Pallas interpreter mode on CPU (conftest forces JAX_PLATFORMS=cpu,
+where pallas_call falls back to interpret semantics via force flag)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from aozora_sdxl_training_tpu.ops.attention import dot_product_attention_xla
+from aozora_sdxl_training_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+@pytest.mark.parametrize("sq,skv", [
+    (256, 256),    # self-attention, exact block fit
+    (160, 160),    # self-attention with padding
+    (256, 77),     # SDXL cross-attention (short KV)
+])
+def test_flash_matches_xla_forward(sq, skv):
+    b, h, d = 1, 2, 64
+    q = _rand(0, (b, sq, h, d))
+    k = _rand(1, (b, skv, h, d))
+    v = _rand(2, (b, skv, h, d))
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)
+    ref = dot_product_attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_gradients_match_xla():
+    b, sq, skv, h, d = 1, 256, 128, 2, 64
+    q = _rand(3, (b, sq, h, d))
+    k = _rand(4, (b, skv, h, d))
+    v = _rand(5, (b, skv, h, d))
+    tangent = _rand(6, (b, sq, h, d))
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(flash_attention(q, k, v) * tangent)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(dot_product_attention_xla(q, k, v) * tangent)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_flash_gradients_with_kv_padding():
+    # KV length 77 forces mask handling in all three kernels
+    b, sq, skv, h, d = 1, 128, 77, 1, 64
+    q = _rand(7, (b, sq, h, d))
+    k = _rand(8, (b, skv, h, d))
+    v = _rand(9, (b, skv, h, d))
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(dot_product_attention_xla(q, k, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_flash_bf16_inputs():
+    b, sq, skv, h, d = 1, 256, 256, 2, 64
+    q = _rand(10, (b, sq, h, d)).astype(jnp.bfloat16)
+    k = _rand(11, (b, skv, h, d)).astype(jnp.bfloat16)
+    v = _rand(12, (b, skv, h, d)).astype(jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    ref = dot_product_attention_xla(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32),
+        rtol=2e-2, atol=2e-2)
