@@ -1,0 +1,79 @@
+"""Training-state checkpointing (optimizer moments, counters, sampler state).
+
+The reference pickles a ``.pt`` dict of optimizer CPU state + RNG states
+(/root/reference/train.py:2515-2531).  The TPU rebuild's determinism is
+*stateless* — noise and schedules are pure functions of (seed, step) — so the
+state file only needs counters and the optimizer moments.  Format: one
+safetensors file (``m.<param>`` / ``v.<param>`` plus the step counter) with a
+JSON metadata blob for scalars, instead of a torch pickle.
+
+Filenames mirror the reference (train.py:2518-2519):
+``{stem}_step_{N}.safetensors`` + ``{stem}_training_state_step_{N}.safetensors``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import secrets
+import string
+from pathlib import Path
+
+import numpy as np
+
+from ..opt.adamw import AdamWState
+from .safetensors_io import load_all, read_metadata, write_streaming
+
+
+def output_model_stem(config, source_path) -> str:
+    """Resolve OUTPUT_NAME with {uuid} substitution and sanitization
+    (parity: train.py:2334-2349); cached per run."""
+    cached = getattr(config, "_RESOLVED_OUTPUT_STEM", None)
+    if cached:
+        return cached
+    requested = str(getattr(config, "OUTPUT_NAME", "auto") or "auto").strip()
+    if requested.lower() == "auto":
+        requested = f"{Path(source_path).stem}_trained_{{uuid}}"
+    run_uuid = "".join(secrets.choice(string.ascii_lowercase + string.digits)
+                       for _ in range(6))
+    requested = requested.replace("{uuid}", run_uuid)
+    requested = Path(requested).name
+    if requested.lower().endswith(".safetensors"):
+        requested = requested[: -len(".safetensors")]
+    requested = re.sub(r'[<>:"/\\|?*\x00-\x1f]', "_", requested).strip(" .")
+    resolved = requested or f"{Path(source_path).stem}_trained_{run_uuid}"
+    config._RESOLVED_OUTPUT_STEM = resolved
+    return resolved
+
+
+def save_train_state(path, *, global_step: int, micro_step: int,
+                     opt_state: AdamWState, sampler_seed: int,
+                     sampler_epoch: int, timestep_sampler_state: dict | None,
+                     extra: dict | None = None) -> None:
+    tensors = {"opt.step": np.asarray(opt_state.step)}
+    for name, m in opt_state.exp_avg.items():
+        tensors[f"m.{name}"] = np.asarray(m)
+    for name, v in opt_state.exp_avg_sq.items():
+        tensors[f"v.{name}"] = np.asarray(v)
+    meta = {
+        "global_step": global_step,
+        "micro_step": micro_step,
+        "sampler_seed": sampler_seed,
+        "sampler_epoch": sampler_epoch,
+        "timestep_sampler_state": timestep_sampler_state,
+        **(extra or {}),
+    }
+    write_streaming(Path(path), tensors, metadata={"json": json.dumps(meta)})
+
+
+def load_train_state(path) -> tuple[dict, AdamWState]:
+    """Returns (meta dict, AdamWState with numpy leaves keyed like params)."""
+    import jax.numpy as jnp
+    meta = json.loads(read_metadata(path).get("json", "{}"))
+    tensors = load_all(path)
+    m = {k[len("m."):]: jnp.asarray(v) for k, v in tensors.items()
+         if k.startswith("m.")}
+    v = {k[len("v."):]: jnp.asarray(t) for k, t in tensors.items()
+         if k.startswith("v.")}
+    step = jnp.asarray(tensors.get("opt.step", np.zeros((), np.int32)))
+    return meta, AdamWState(step=step, exp_avg=m, exp_avg_sq=v)

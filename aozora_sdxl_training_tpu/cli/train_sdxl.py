@@ -1,0 +1,27 @@
+"""CLI entry point: ``python -m aozora_sdxl_training_tpu.cli.train_sdxl
+--config preset.json`` — drop-in replacement for the reference's
+``python train.py --config x.json`` (same JSON schema, same stdout grammar).
+"""
+
+from __future__ import annotations
+
+
+def main(argv=None) -> None:
+    import os
+
+    # Dev escape hatch: AOZORA_PLATFORM=cpu runs the trainer on host CPU
+    # (the container sitecustomize pins JAX_PLATFORMS to the TPU plugin).
+    platform = os.environ.get("AOZORA_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
+    from ..config.runtime import RuntimeConfig
+    from ..train.trainer import run_sdxl_training
+
+    config = RuntimeConfig.from_argv(argv)
+    run_sdxl_training(config)
+
+
+if __name__ == "__main__":
+    main()

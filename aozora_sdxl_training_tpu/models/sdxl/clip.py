@@ -131,17 +131,51 @@ def clip_text_forward(params: Params, token_ids: jax.Array,
 
 
 def encode_dual_towers(params_l: Params, params_g: Params, tokens_l: jax.Array,
-                       tokens_g: jax.Array, *, compute_dtype=jnp.float32):
+                       tokens_g: jax.Array, *, cfg_l: ClipTextConfig = CLIP_L,
+                       cfg_g: ClipTextConfig = CLIP_BIGG,
+                       compute_dtype=jnp.float32):
     """SDXL text conditioning: concat penultimate hiddens, bigG pooled.
 
     tokens_*: (B*chunks, 77). Returns (embeds (B*chunks, 77, 2048),
     pooled (B*chunks, 1280)); chunk reshaping happens in the cache pipeline.
     """
-    hidden_l, _ = clip_text_forward(params_l, tokens_l, CLIP_L,
+    hidden_l, _ = clip_text_forward(params_l, tokens_l, cfg_l,
                                     compute_dtype=compute_dtype)
-    hidden_g, pooled = clip_text_forward(params_g, tokens_g, CLIP_BIGG,
+    hidden_g, pooled = clip_text_forward(params_g, tokens_g, cfg_g,
                                          compute_dtype=compute_dtype)
     return jnp.concatenate([hidden_l, hidden_g], axis=-1), pooled
+
+
+def detect_clip_l_config(sd_tensors: dict) -> ClipTextConfig:
+    """Infer the CLIP-L tower's shape from checkpoint tensors."""
+    p = CLIP_L_PREFIX
+    tok = sd_tensors[f"{p}embeddings.token_embedding.weight"]
+    pos = sd_tensors[f"{p}embeddings.position_embedding.weight"]
+    n = 0
+    while f"{p}encoder.layers.{n}.layer_norm1.weight" in sd_tensors:
+        n += 1
+    width = int(tok.shape[1])
+    return ClipTextConfig(vocab_size=int(tok.shape[0]), width=width,
+                          num_layers=n, num_heads=max(1, width // 64),
+                          max_length=int(pos.shape[0]),
+                          activation="quick_gelu", projection_dim=None,
+                          eos_token_id=int(tok.shape[0]) - 1)
+
+
+def detect_clip_bigg_config(sd_tensors: dict) -> ClipTextConfig:
+    p = CLIP_BIGG_PREFIX
+    tok = sd_tensors[f"{p}token_embedding.weight"]
+    pos = sd_tensors[f"{p}positional_embedding"]
+    proj = sd_tensors[f"{p}text_projection"]
+    n = 0
+    while f"{p}transformer.resblocks.{n}.ln_1.weight" in sd_tensors:
+        n += 1
+    width = int(tok.shape[1])
+    return ClipTextConfig(vocab_size=int(tok.shape[0]), width=width,
+                          num_layers=n, num_heads=max(1, width // 64),
+                          max_length=int(pos.shape[0]), activation="gelu",
+                          projection_dim=int(proj.shape[1]),
+                          eos_token_id=int(tok.shape[0]) - 1)
 
 
 # --------------------------------------------------------------------------
@@ -153,9 +187,11 @@ def _t(x):
 
 
 def clip_l_params_from_sd(sd_tensors: dict, dtype=jnp.float32,
-                          num_layers: int = 12) -> Params:
+                          num_layers: int | None = None) -> Params:
     """HF-transformers layout under conditioner.embedders.0 (CLIP-L)."""
     p = CLIP_L_PREFIX
+    if num_layers is None:
+        num_layers = detect_clip_l_config(sd_tensors).num_layers
     params: Params = {
         "token_embedding": jnp.asarray(
             sd_tensors[f"{p}embeddings.token_embedding.weight"]).astype(dtype),
@@ -179,9 +215,11 @@ def clip_l_params_from_sd(sd_tensors: dict, dtype=jnp.float32,
 
 
 def clip_bigg_params_from_sd(sd_tensors: dict, dtype=jnp.float32,
-                             num_layers: int = 32) -> Params:
+                             num_layers: int | None = None) -> Params:
     """OpenCLIP layout under conditioner.embedders.1 (bigG): fused in_proj."""
     p = CLIP_BIGG_PREFIX
+    if num_layers is None:
+        num_layers = detect_clip_bigg_config(sd_tensors).num_layers
     params: Params = {
         "token_embedding": jnp.asarray(sd_tensors[f"{p}token_embedding.weight"]).astype(dtype),
         "position_embedding": jnp.asarray(sd_tensors[f"{p}positional_embedding"]).astype(dtype),

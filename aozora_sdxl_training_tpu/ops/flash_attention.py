@@ -16,6 +16,11 @@ kernels (dQ with the KV loop innermost; dK/dV with the Q loop innermost)
 that recompute probabilities from the saved row logsumexp — the standard
 flash recomputation, so residual memory is O(S) not O(S^2).
 
+TPU tiling note: per-row statistics (logsumexp, dO.O) are stored
+lane-replicated at width 128 — Mosaic requires the last block dim to be a
+multiple of 128 (or the full array dim), so a (block_q,) vector is carried
+as (block_q, 128) with identical lanes.
+
 Softmax statistics and all accumulation are fp32 regardless of input dtype;
 matmuls run on the MXU via ``preferred_element_type=float32``.
 """
@@ -29,9 +34,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+def _interpret() -> bool:
+    # CPU has no Mosaic backend; tests run the kernels interpreted.
+    return jax.default_backend() == "cpu"
+
+
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
+LANES = 128
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -69,24 +80,25 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
     s = jnp.where(col < kv_valid, s, NEG_INF)
 
-    m_prev = m_ref[:]                                  # (BQ, 1)
+    m_prev = m_ref[:, :1]                              # (BQ, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)                             # (BQ, BK) fp32
-    l_new = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    m_ref[:] = m_new
-    l_ref[:] = l_new
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(ik == num_k_blocks - 1)
     def _():
-        l = l_ref[:]
+        l = l_ref[:, :1]
         safe_l = jnp.maximum(l, 1e-30)
         o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:] + jnp.log(safe_l))[:, 0]
+        lse = m_ref[:, :1] + jnp.log(safe_l)           # (BQ, 1)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _flash_forward(q3, k3, v3, *, scale: float, kv_valid: int,
@@ -109,17 +121,18 @@ def _flash_forward(q3, k3, v3, *, scale: float, kv_valid: int,
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
-            pl.BlockSpec((1, block_q), lambda b, iq, ik: (b, iq)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, iq, ik: (b, iq, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
-            jax.ShapeDtypeStruct((bh, sq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sq, LANES), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
         ],
+        interpret=_interpret(),
     )(q3, k3, v3)
     return out, lse
 
@@ -141,8 +154,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, None]       # (BQ, 1)
-    delta = delta_ref[0][:, None]   # (BQ, 1)
+    lse = lse_ref[0][:, :1]         # (BQ, 1)
+    delta = delta_ref[0][:, :1]     # (BQ, 1)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -176,8 +189,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -209,7 +222,9 @@ def _flash_backward(q3, k3, v3, o3, lse, do3, *, scale: float, kv_valid: int,
     nq, nk = sq // block_q, sk // block_k
 
     delta = jnp.sum(do3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], (bh, sq, LANES))
 
+    row_spec = pl.BlockSpec((1, block_q, LANES), lambda b, iq, ik: (b, iq, 0))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_valid=kv_valid,
                           block_k=block_k, num_k_blocks=nk),
@@ -219,14 +234,16 @@ def _flash_backward(q3, k3, v3, o3, lse, do3, *, scale: float, kv_valid: int,
             pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
-            pl.BlockSpec((1, block_q), lambda b, iq, ik: (b, iq)),
-            pl.BlockSpec((1, block_q), lambda b, iq, ik: (b, iq)),
+            row_spec,
+            row_spec,
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=_interpret(),
     )(q3, k3, v3, do3, lse, delta)
 
+    row_spec_kv = pl.BlockSpec((1, block_q, LANES), lambda b, ik, iq: (b, iq, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, kv_valid=kv_valid,
                           block_k=block_k, num_q_blocks=nq),
@@ -236,8 +253,8 @@ def _flash_backward(q3, k3, v3, o3, lse, do3, *, scale: float, kv_valid: int,
             pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
-            pl.BlockSpec((1, block_q), lambda b, ik, iq: (b, iq)),
-            pl.BlockSpec((1, block_q), lambda b, ik, iq: (b, iq)),
+            row_spec_kv,
+            row_spec_kv,
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
@@ -251,6 +268,7 @@ def _flash_backward(q3, k3, v3, o3, lse, do3, *, scale: float, kv_valid: int,
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
+        interpret=_interpret(),
     )(q3, k3, v3, do3, lse, delta)
 
     return dq, dk, dv

@@ -58,12 +58,14 @@ def param_partition_spec(shape: tuple[int, ...], mesh_size: int,
     return P(*spec)
 
 
-def params_shardings(params, mesh: Mesh, mode: str = "fsdp"):
+def params_shardings(params, mesh: Mesh, mode: str = "fsdp",
+                     min_shard_elements: int = 2 ** 16):
     """Tree of NamedShardings matching the (flat-dict) param tree."""
     size = mesh.devices.size
 
     def one(p):
-        return NamedSharding(mesh, param_partition_spec(tuple(p.shape), size, mode))
+        return NamedSharding(mesh, param_partition_spec(
+            tuple(p.shape), size, mode, min_shard_elements))
 
     return jax.tree.map(one, params)
 

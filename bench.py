@@ -1,0 +1,121 @@
+"""Benchmark: full SDXL UNet train micro-step (fwd+bwd) at 1024px on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference's published 1.55 s/iteration micro-step at ~1024px,
+batch 1, on a 12 GB consumer GPU (/root/reference/readme.md:14, BASELINE.md).
+``vs_baseline`` is the speedup factor (baseline_s_per_image / ours).
+
+Also reports (to stderr) the XLA-estimated model FLOPs utilisation so MFU
+regressions are visible between rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# First compile of the full UNet through the remote-TPU tunnel is slow;
+# cache compiled executables across bench runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+REFERENCE_S_PER_IMAGE = 1.55
+# per-chip peak bf16 TFLOP/s (v5e ~197, v4 ~275, v5p ~459); used for MFU only
+PEAK_FLOPS = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12, "v5p": 459e12,
+              "v6 lite": 918e12, "v6e": 918e12}
+
+
+def peak_flops_for(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for name, val in PEAK_FLOPS.items():
+        if name in kind:
+            return val
+    return 197e12
+
+
+def main() -> None:
+    from aozora_sdxl_training_tpu.models.sdxl.arch import SDXL_BASE
+    from aozora_sdxl_training_tpu.models.sdxl.unet import init_params, unet_forward
+    from aozora_sdxl_training_tpu.train import objectives
+
+    cfg = SDXL_BASE
+    batch = 1
+    latent_hw = 128  # 1024px
+    seq = 77
+    on_tpu = jax.default_backend() == "tpu"
+    attn_impl = "flash" if on_tpu else "xla"
+
+    print(f"bench: backend={jax.default_backend()} batch={batch} "
+          f"latent={latent_hw} attn={attn_impl}", file=sys.stderr)
+
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+
+    def loss_fn(params, latents, noise, tickets, embeds, pooled, time_ids):
+        noisy, target, t_cond, _ = objectives.prepare_batch(
+            "v_prediction", latents, noise, tickets)
+        pred = unet_forward(params, noisy.astype(jnp.bfloat16), t_cond, embeds,
+                            pooled, time_ids, cfg=cfg, attn_impl=attn_impl,
+                            compute_dtype=jnp.bfloat16, remat=True)
+        return objectives.weighted_mse_loss(pred, target, tickets, None)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    key = jax.random.PRNGKey(1)
+    latents = jax.random.normal(key, (batch, latent_hw, latent_hw, 4), jnp.float32)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), latents.shape, jnp.float32)
+    tickets = jnp.full((batch,), 500, jnp.int32)
+    embeds = jax.random.normal(jax.random.fold_in(key, 2),
+                               (batch, seq, cfg.cross_attention_dim), jnp.bfloat16)
+    pooled = jax.random.normal(jax.random.fold_in(key, 3),
+                               (batch, cfg.pooled_projection_dim), jnp.bfloat16)
+    time_ids = jnp.tile(jnp.asarray([[1024, 1024, 0, 0, 1024, 1024]],
+                                    jnp.float32), (batch, 1))
+    args = (params, latents, noise, tickets, embeds, pooled, time_ids)
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    loss, grads = grad_fn(*args)
+    jax.block_until_ready(grads)
+    compile_s = time.perf_counter() - t0
+    print(f"bench: compile+first-step {compile_s:.1f}s loss={float(loss):.4f}",
+          file=sys.stderr)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = grad_fn(*args)
+    jax.block_until_ready(grads)
+    dt = (time.perf_counter() - t0) / iters
+    s_per_image = dt / batch
+
+    # MFU from XLA's own cost model
+    mfu = None
+    try:
+        cost = grad_fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops / dt / peak_flops_for(jax.devices()[0])
+    except Exception as e:
+        print(f"bench: cost analysis unavailable: {e}", file=sys.stderr)
+    if mfu is not None:
+        print(f"bench: step={dt*1e3:.1f}ms  s/img={s_per_image:.4f}  "
+              f"MFU~{mfu:.1%}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "sdxl_1024px_vpred_full_unet_microstep_s_per_image",
+        "value": round(s_per_image, 5),
+        "unit": "s/image",
+        "vs_baseline": round(REFERENCE_S_PER_IMAGE / s_per_image, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
