@@ -29,6 +29,7 @@ import math
 from dataclasses import dataclass
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from ...ops.attention import attention
@@ -229,6 +230,10 @@ def dit_block(params: Params, prefix: str, x: jax.Array, emb: jax.Array,
     hmid = _linear(params, f"{prefix}.mlp.layer1", normed)
     hmid = jax.nn.gelu(hmid, approximate=False)
     out = _linear(params, f"{prefix}.mlp.layer2", hmid)
+    # Tag for the "Conservative" remat policy: save the wide->narrow MLP
+    # down-projection instead of recomputing the 8192->2048 GEMM
+    # (reference's selective-checkpoint MUST_SAVE rule, train_anima.py:536-593).
+    out = jax.ad_checkpoint.checkpoint_name(out, "mlp_down")
     x = x + gate.astype(res_dtype) * out.astype(res_dtype)
     return x
 

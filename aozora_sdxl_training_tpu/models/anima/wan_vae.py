@@ -1,0 +1,307 @@
+"""Wan-style causal-3D VAE encoder in JAX (image mode) + tiled encode.
+
+Re-implementation of the reference's encode-only ``WanVideoVAE``
+(/root/reference/training_utils/anima/models/vae_encoder.py): Encoder3d with
+dim 96, z=16, mults [1,2,4,4], temporal downsample [F,T,T], channel-RMS
+norms, single-head spatial attention in the middle, per-channel mean/std
+normalization baked into the encode, and spatial tiled encode with ramped
+blend masks (tile 96x96 latent, stride 72x72 => x8 pixels).
+
+TPU design note — image mode: Anima image training encodes exactly one frame
+(train_anima.py:740-751 unsqueezes T=1).  A causal 3D conv pads the time
+axis with ``2*pad_t`` leading zeros, so with T=1 only the *last* temporal
+kernel slice ever touches real data; every CausalConv3d collapses exactly to
+a 2D conv with ``weight[:, :, -1]``.  The whole encoder therefore runs as
+channel-last 2D convs on the MXU — no frame caching machinery needed.  (The
+chunked cache in the reference exists to bound memory for videos; full-video
+support lands with the video trainer.)
+
+Weights load from checkpoints under the reference's ``model.encoder.*`` /
+``model.conv1`` keys (loader.py:85-99 remap semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, jax.Array]
+
+# Wan2.x VAE per-channel latent statistics (vae_encoder.py:317-322)
+LATENT_MEAN = np.array([
+    -0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653, -0.1517, 1.5508,
+    0.4134, -0.0715, 0.5517, -0.3632, -0.1922, -0.9497, 0.2503, -0.2921,
+], np.float32)
+LATENT_STD = np.array([
+    2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052, 2.0743,
+    3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253, 2.8251, 1.9160,
+], np.float32)
+
+
+@dataclass(frozen=True)
+class WanVaeConfig:
+    dim: int = 96
+    z_dim: int = 16
+    dim_mult: tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+
+    @property
+    def dims(self) -> list[int]:
+        return [self.dim * u for u in (1,) + tuple(self.dim_mult)]
+
+
+WAN_VAE = WanVaeConfig()
+TINY_WAN_VAE = WanVaeConfig(dim=8, z_dim=4)
+
+
+def _conv2d(params: Params, name: str, x: jax.Array, *, stride: int = 1,
+            pad=None) -> jax.Array:
+    kernel = params[f"{name}.weight"].astype(x.dtype)  # HWIO
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    if pad is None:
+        pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    bias = params.get(f"{name}.bias")
+    return y if bias is None else y + bias.astype(y.dtype)
+
+
+def _channel_rms_norm(params: Params, name: str, x: jax.Array,
+                      eps: float = 1e-12) -> jax.Array:
+    """F.normalize along channels * sqrt(C) * gamma (vae_encoder.py:44-59)."""
+    xf = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+    xf = xf / jnp.maximum(norm, eps) * (x.shape[-1] ** 0.5)
+    gamma = params[f"{name}.gamma"].astype(jnp.float32)
+    return (xf * gamma).astype(x.dtype)
+
+
+def _residual_block(params: Params, prefix: str, x: jax.Array) -> jax.Array:
+    if f"{prefix}.shortcut.weight" in params:
+        identity = _conv2d(params, f"{prefix}.shortcut", x)
+    else:
+        identity = x
+    h = _channel_rms_norm(params, f"{prefix}.residual.0", x)
+    h = _conv2d(params, f"{prefix}.residual.2", jax.nn.silu(h))
+    h = _channel_rms_norm(params, f"{prefix}.residual.3", h)
+    h = _conv2d(params, f"{prefix}.residual.6", jax.nn.silu(h))
+    return h + identity
+
+
+def _attention_block(params: Params, prefix: str, x: jax.Array) -> jax.Array:
+    b, h, w, c = x.shape
+    hidden = _channel_rms_norm(params, f"{prefix}.norm", x)
+    qkv = _conv2d(params, f"{prefix}.to_qkv", hidden).reshape(b, h * w, 3 * c)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                        preferred_element_type=jnp.float32) * (c ** -0.5)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(v.dtype)
+    out = jnp.einsum("bqk,bkc->bqc", probs, v).reshape(b, h, w, c)
+    return _conv2d(params, f"{prefix}.proj", out) + x
+
+
+def _downsample(params: Params, prefix: str, x: jax.Array) -> jax.Array:
+    """ZeroPad2d(right=1, bottom=1) then 3x3 stride-2 valid conv."""
+    return _conv2d(params, f"{prefix}.resample.1", x, stride=2,
+                   pad=((0, 1), (0, 1)))
+
+
+def encoder_layout(cfg: WanVaeConfig):
+    """Ordered (kind, name, in_dim, out_dim) of model.encoder.downsamples."""
+    layers = []
+    dims = cfg.dims
+    idx = 0
+    for i, (in_dim, out_dim) in enumerate(zip(dims[:-1], dims[1:])):
+        d = in_dim
+        for _ in range(cfg.num_res_blocks):
+            layers.append(("res", f"downsamples.{idx}", d, out_dim))
+            d = out_dim
+            idx += 1
+        if i != len(cfg.dim_mult) - 1:
+            layers.append(("down", f"downsamples.{idx}", out_dim, out_dim))
+            idx += 1
+    return layers
+
+
+def encode_image(params: Params, pixels: jax.Array, *,
+                 cfg: WanVaeConfig = WAN_VAE,
+                 normalize: bool = True,
+                 compute_dtype=jnp.float32) -> jax.Array:
+    """pixels: (B, H, W, 3) in [-1, 1] -> normalized latents (B, H/8, W/8, z)."""
+    x = pixels.astype(compute_dtype)
+    x = _conv2d(params, "encoder.conv1", x)
+    for kind, name, _, _ in encoder_layout(cfg):
+        if kind == "res":
+            x = _residual_block(params, f"encoder.{name}", x)
+        else:
+            x = _downsample(params, f"encoder.{name}", x)
+    x = _residual_block(params, "encoder.middle.0", x)
+    x = _attention_block(params, "encoder.middle.1", x)
+    x = _residual_block(params, "encoder.middle.2", x)
+    x = _channel_rms_norm(params, "encoder.head.0", x)
+    x = _conv2d(params, "encoder.head.2", jax.nn.silu(x))
+    x = _conv2d(params, "conv1", x)
+    mu = x[..., : cfg.z_dim]
+    if not normalize:
+        return mu
+    mean = jnp.asarray(LATENT_MEAN[: cfg.z_dim], mu.dtype)
+    inv_std = jnp.asarray(1.0 / LATENT_STD[: cfg.z_dim], mu.dtype)
+    return (mu - mean) * inv_std
+
+
+# --------------------------------------------------------------------------
+# Tiled encode (spatial)
+# --------------------------------------------------------------------------
+
+def _axis_mask(length: int, lower: bool, upper: bool, border: int) -> np.ndarray:
+    mask = np.ones(length, np.float32)
+    if border > 0:
+        ramp = (np.arange(border) + 1) / border
+        if not lower:
+            mask[:border] = ramp
+        if not upper:
+            mask[-border:] = ramp[::-1]
+    return mask
+
+
+def tile_tasks(height: int, width: int, tile_h: int, tile_w: int,
+               stride_h: int, stride_w: int):
+    """(top, bottom, left, right) pixel windows (vae_encoder.py:347-354)."""
+    tasks = []
+    for top in range(0, height, stride_h):
+        if top >= stride_h and top - stride_h + tile_h >= height:
+            continue
+        for left in range(0, width, stride_w):
+            if left >= stride_w and left - stride_w + tile_w >= width:
+                continue
+            tasks.append((top, top + tile_h, left, left + tile_w))
+    return tasks
+
+
+def encode_image_tiled(params: Params, pixels: np.ndarray, *,
+                       cfg: WanVaeConfig = WAN_VAE,
+                       tile_size=(96, 96), tile_stride=(72, 72),
+                       encode_fn=None) -> np.ndarray:
+    """Spatially tiled encode with ramped blend masks.
+
+    pixels: (B, H, W, 3) numpy in [-1, 1]; tile_size/stride in *latent*
+    units (x8 pixels), as configured by VAE_CACHING_TILE_SIZE.  ``encode_fn``
+    (default: jitted :func:`encode_image`) is called per pixel tile, so XLA
+    compiles one executable per distinct tile shape.
+    """
+    if encode_fn is None:
+        encode_fn = jax.jit(lambda px: encode_image(params, px, cfg=cfg))
+    b, height, width, _ = pixels.shape
+    tile_h, tile_w = (t * 8 for t in tile_size)
+    stride_h, stride_w = (s * 8 for s in tile_stride)
+    border = ((tile_h - stride_h) // 8, (tile_w - stride_w) // 8)
+
+    out_h, out_w = height // 8, width // 8
+    values = np.zeros((b, out_h, out_w, cfg.z_dim), np.float32)
+    weights = np.zeros((b, out_h, out_w, 1), np.float32)
+    for top, bottom, left, right in tile_tasks(height, width, tile_h, tile_w,
+                                               stride_h, stride_w):
+        tile = pixels[:, top:min(bottom, height), left:min(right, width)]
+        encoded = np.asarray(encode_fn(jnp.asarray(tile)), np.float32)
+        mh = _axis_mask(encoded.shape[1], top == 0, bottom >= height, border[0])
+        mw = _axis_mask(encoded.shape[2], left == 0, right >= width, border[1])
+        mask = np.minimum(mh[:, None], mw[None, :])[None, :, :, None]
+        ot, ol = top // 8, left // 8
+        values[:, ot:ot + encoded.shape[1], ol:ol + encoded.shape[2]] += encoded * mask
+        weights[:, ot:ot + encoded.shape[1], ol:ol + encoded.shape[2]] += mask
+    return values / weights
+
+
+# --------------------------------------------------------------------------
+# Loading
+# --------------------------------------------------------------------------
+
+def params_from_torch_state(state: dict, cfg: WanVaeConfig = WAN_VAE,
+                            dtype=jnp.float32) -> Params:
+    """Torch ``model.*`` keys -> image-mode param dict.
+
+    Causal 3D conv kernels (O, I, kt, kh, kw) keep only their last temporal
+    slice (exact for single-frame inputs — see module docstring) and
+    transpose to HWIO.  RMS-norm gammas squeeze their broadcast dims.
+    """
+    params: Params = {}
+    for key, value in state.items():
+        if key.startswith("model."):
+            key = key[len("model."):]
+        if not (key.startswith("encoder.") or key.startswith("conv1.")):
+            continue
+        arr = jnp.asarray(value)
+        if key.endswith(".gamma"):
+            params[key] = arr.reshape(arr.shape[0]).astype(dtype)
+        elif arr.ndim == 5:   # (O, I, kt, kh, kw) -> last-t slice -> HWIO
+            params[key] = jnp.transpose(arr[:, :, -1], (2, 3, 1, 0)).astype(dtype)
+        elif arr.ndim == 4:   # 2D conv (O, I, kh, kw) -> HWIO
+            params[key] = jnp.transpose(arr, (2, 3, 1, 0)).astype(dtype)
+        else:
+            params[key] = arr.astype(dtype)
+    if "encoder.conv1.weight" not in params:
+        raise ValueError("No Wan VAE encoder tensors found in checkpoint")
+    return params
+
+
+def param_shapes(cfg: WanVaeConfig) -> dict[str, tuple[int, ...]]:
+    """Image-mode (HWIO) parameter shapes, for init/tests."""
+    shapes: dict[str, tuple[int, ...]] = {
+        "encoder.conv1.weight": (3, 3, 3, cfg.dims[0]),
+        "encoder.conv1.bias": (cfg.dims[0],),
+    }
+    for kind, name, in_dim, out_dim in encoder_layout(cfg):
+        p = f"encoder.{name}"
+        if kind == "res":
+            shapes[f"{p}.residual.0.gamma"] = (in_dim,)
+            shapes[f"{p}.residual.2.weight"] = (3, 3, in_dim, out_dim)
+            shapes[f"{p}.residual.2.bias"] = (out_dim,)
+            shapes[f"{p}.residual.3.gamma"] = (out_dim,)
+            shapes[f"{p}.residual.6.weight"] = (3, 3, out_dim, out_dim)
+            shapes[f"{p}.residual.6.bias"] = (out_dim,)
+            if in_dim != out_dim:
+                shapes[f"{p}.shortcut.weight"] = (1, 1, in_dim, out_dim)
+                shapes[f"{p}.shortcut.bias"] = (out_dim,)
+        else:
+            shapes[f"{p}.resample.1.weight"] = (3, 3, out_dim, out_dim)
+            shapes[f"{p}.resample.1.bias"] = (out_dim,)
+    top = cfg.dims[-1]
+    for mid in ("middle.0", "middle.2"):
+        p = f"encoder.{mid}"
+        shapes[f"{p}.residual.0.gamma"] = (top,)
+        shapes[f"{p}.residual.2.weight"] = (3, 3, top, top)
+        shapes[f"{p}.residual.2.bias"] = (top,)
+        shapes[f"{p}.residual.3.gamma"] = (top,)
+        shapes[f"{p}.residual.6.weight"] = (3, 3, top, top)
+        shapes[f"{p}.residual.6.bias"] = (top,)
+    shapes["encoder.middle.1.norm.gamma"] = (top,)
+    shapes["encoder.middle.1.to_qkv.weight"] = (1, 1, top, 3 * top)
+    shapes["encoder.middle.1.to_qkv.bias"] = (3 * top,)
+    shapes["encoder.middle.1.proj.weight"] = (1, 1, top, top)
+    shapes["encoder.middle.1.proj.bias"] = (top,)
+    shapes["encoder.head.0.gamma"] = (top,)
+    shapes["encoder.head.2.weight"] = (3, 3, top, 2 * cfg.z_dim)
+    shapes["encoder.head.2.bias"] = (2 * cfg.z_dim,)
+    shapes["conv1.weight"] = (1, 1, 2 * cfg.z_dim, 2 * cfg.z_dim)
+    shapes["conv1.bias"] = (2 * cfg.z_dim,)
+    return shapes
+
+
+def init_params(cfg: WanVaeConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    shapes = param_shapes(cfg)
+    params: Params = {}
+    keys = jax.random.split(key, len(shapes))
+    for (name, shape), k in zip(sorted(shapes.items()), keys):
+        if name.endswith(".bias"):
+            params[name] = jnp.zeros(shape, dtype)
+        elif name.endswith(".gamma"):
+            params[name] = jnp.ones(shape, dtype)
+        else:
+            fan_in = int(np.prod(shape[:-1]))
+            params[name] = (jax.random.normal(k, shape, jnp.float32)
+                            * (1.0 / max(fan_in, 1)) ** 0.5).astype(dtype)
+    return params

@@ -181,9 +181,19 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
 # Full forward
 # --------------------------------------------------------------------------
 
-def _maybe_remat(fn: Callable, enabled: bool) -> Callable:
+def _maybe_remat(fn: Callable, mode) -> Callable:
+    """mode: False/None = no remat; True/'full' = recompute everything;
+    'dots' = save MXU outputs (jax.checkpoint_policies.checkpoint_dots) —
+    less recompute at higher HBM cost."""
+    if not mode:
+        return fn
+    policy = None
+    if mode == "dots":
+        policy = jax.checkpoint_policies.checkpoint_dots
+    elif mode == "dots_no_batch":
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     # arg 1 is the dotted param-name prefix (a static string)
-    return jax.checkpoint(fn, static_argnums=(1,)) if enabled else fn
+    return jax.checkpoint(fn, static_argnums=(1,), policy=policy)
 
 
 def unet_forward(params: Params,

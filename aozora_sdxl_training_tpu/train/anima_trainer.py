@@ -1,0 +1,301 @@
+"""Anima DiT training loop (flow matching) — TPU re-architecture of
+/root/reference/train_anima.py:1724-1975.
+
+Same host structure as the SDXL trainer: two jitted programs (micro-step /
+optimizer-step) over the shared scheduling machinery, with:
+
+* ticket -> (sigma, timestep) linear schedule, DiT conditioned on t/1000
+  (train_anima.py:1689-1711);
+* loss weights indexed by *ticket* (ascending coordinate, :1881);
+* the LLM adapter training inside the DiT forward (t5 ids flow through the
+  batch);
+* DiT-only checkpoints with auto-detected key prefix + streaming save
+  (:1461-1686), resume state with sampler indices.
+
+Gradient checkpointing: "Full" remats every block; "Conservative" matches
+the reference's selective policy (save the wide->narrow MLP down-proj GEMMs,
+:521-593) via jax.checkpoint policy save-dot-with-no-batch-dims heuristics.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import time
+from collections import deque
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ckpt.anima_checkpoint import (load_dit_state, resolve_save_prefix,
+                                     save_dit_model)
+from ..ckpt.train_state import (load_train_state, output_model_stem,
+                                save_train_state)
+from ..data.anima_cache import (AnimaLatentDataset, check_if_anima_caching_needed,
+                                precompute_and_cache_anima)
+from ..data.dataset import BatchPrefetcher, pack_sample_schedule
+from ..data.schedule import TimestepTicketSampler, build_image_batch_schedule
+from ..models.anima import dit as dit_mod
+from ..opt import adamw
+from . import anima_objectives, curves
+from .reporter import MetricsReporter, optimizer_block
+from .trainer import (consume_force_save_flag, force_save_flag_path,
+                      make_optimizer_config, print_optimizer_summary)
+
+
+def split_trainable_dit(params, exclude_keywords):
+    trainable, frozen = {}, {}
+    for name, p in params.items():
+        excluded = any(
+            fnmatch.fnmatch(name, kw if "*" in kw else f"*{kw}*")
+            for kw in exclude_keywords)
+        (frozen if excluded else trainable)[name] = p
+    return trainable, frozen
+
+
+def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
+                          compute_dtype, attn_impl, remat):
+    inv_ga = 1.0 / float(grad_accum_steps)
+
+    def loss_fn(trainable, frozen, latents, prompt_emb, t5_ids, tickets,
+                loss_weights, seed, micro_step):
+        from . import objectives as sdxl_obj
+        params = {**frozen, **trainable}
+        sigmas, timesteps = anima_objectives.ticket_to_sigma_timestep(tickets)
+        noise = sdxl_obj.noise_for_step(seed, micro_step, latents.shape)
+        noisy, target = anima_objectives.flowmatch_noise_and_target(
+            latents, noise, sigmas)
+        # (B, H, W, C) -> (B, T=1, H, W, C); DiT conditioned on t/1000
+        pred = dit_mod.dit_forward(
+            params, noisy[:, None].astype(compute_dtype), timesteps / 1000.0,
+            prompt_emb.astype(compute_dtype), cfg=cfg, t5_ids=t5_ids,
+            attn_impl=attn_impl, compute_dtype=compute_dtype, remat=remat)
+        weights = loss_weights[jnp.clip(tickets, 0, loss_weights.shape[0] - 1)]
+        loss = anima_objectives.weighted_flowmatch_mse(pred[:, 0], target, weights)
+        return loss, sigmas[0]
+
+    def micro_step(trainable, frozen, grad_accum, latents, prompt_emb, t5_ids,
+                   tickets, loss_weights, seed, micro_step_idx, keep):
+        (loss, sigma0), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, latents, prompt_emb, t5_ids, tickets,
+            loss_weights, seed, micro_step_idx)
+        new_accum = jax.tree.map(
+            lambda a, g: a * keep + g.astype(jnp.float32) * inv_ga,
+            grad_accum, grads)
+        return loss, sigma0, new_accum
+
+    return micro_step
+
+
+def run_anima_training(config) -> None:
+    output_dir = Path(config.OUTPUT_DIR)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    flag_path = force_save_flag_path()
+    print("\n" + "=" * 50 + "\n--- STARTING ANIMA DIT TRAINING (flow matching) ---\n"
+          + "=" * 50 + "\n")
+    print(f"INFO: Set random seed to {config.SEED}")
+
+    # ---- resume ----
+    global_step = micro_step = optimizer_step = 0
+    resume_meta, resume_opt_state = None, None
+    model_to_load = Path(config.DIT_PATH)
+    initial_sampler_seed = config.SEED
+    initial_ts_state = None
+    if config.RESUME_TRAINING:
+        print("--- RESUMING TRAINING SESSION ---")
+        resume_meta, resume_opt_state = load_train_state(
+            config.ANIMA_RESUME_STATE_PATH)
+        global_step = int(resume_meta.get("global_step", 0))
+        micro_step = int(resume_meta.get(
+            "micro_step", global_step * config.GRADIENT_ACCUMULATION_STEPS))
+        optimizer_step = micro_step // config.GRADIENT_ACCUMULATION_STEPS
+        initial_sampler_seed = int(resume_meta.get("sampler_seed", config.SEED))
+        initial_ts_state = resume_meta.get("timestep_sampler_state")
+        model_to_load = Path(config.ANIMA_RESUME_MODEL_PATH)
+
+    # ---- caching ----
+    if check_if_anima_caching_needed(config):
+        precompute_and_cache_anima(config)
+
+    # ---- model ----
+    print("\n--- Loading Anima DiT ---")
+    state, detected_prefix = load_dit_state(model_to_load)
+    dit_cfg = _dit_config_for_state(state)
+    params = dit_mod.params_from_torch_state(state, dit_cfg, dtype=jnp.float32)
+    del state
+    save_prefix = resolve_save_prefix(config, detected_prefix)
+    print(f"INFO: DiT key prefix: detected='{detected_prefix}' save='{save_prefix}'")
+
+    from ..config.runtime import parse_exclude_targets
+    exclude = parse_exclude_targets(getattr(config, "DIT_EXCLUDE_TARGETS", ""))
+    trainable, frozen = split_trainable_dit(params, exclude)
+    n_t = sum(int(p.size) for p in trainable.values())
+    n_f = sum(int(p.size) for p in frozen.values())
+    print(f"INFO: DiT Parameters: total={n_t + n_f:,} trainable={n_t:,} "
+          f"frozen={n_f:,}")
+
+    # ---- schedules ----
+    dataset = AnimaLatentDataset(config)
+    ts_sampler = TimestepTicketSampler(config)
+    if initial_ts_state is not None:
+        ts_sampler.load_state_dict(initial_ts_state)
+    elif config.RESUME_TRAINING and micro_step > 0:
+        ts_sampler.set_current_step(micro_step)
+    loss_weights = jnp.asarray(
+        curves.timestep_loss_curve_from_config(config, 1000))
+    schedule = build_image_batch_schedule(
+        dataset.bucket_keys, config.MAX_TRAIN_STEPS, config.BATCH_SIZE,
+        initial_sampler_seed, ts_sampler.ticket_pool, ts_sampler.bin_ranges,
+        bool(getattr(config, "TIMESTEP_FORCE_IMAGE_BIN_SPREAD", False)))
+    packed = pack_sample_schedule(schedule, config.BATCH_SIZE)
+    print(f"INFO: Precomputed batch schedule for {len(packed):,} step(s).")
+
+    # ---- optimizer / jit ----
+    opt_cfg = make_optimizer_config(config)
+    lr_curve = curves.LRCurve(config.LR_CUSTOM_CURVE, config.MAX_TRAIN_STEPS)
+    remat = str(getattr(config, "ANIMA_GRADIENT_CHECKPOINTING_MODE",
+                        "Full")).title() != "Off"
+    attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    micro = make_anima_micro_step(
+        dit_cfg, grad_accum_steps=config.GRADIENT_ACCUMULATION_STEPS,
+        compute_dtype=config.compute_dtype, attn_impl=attn_impl, remat=remat)
+    micro_fn = jax.jit(micro, donate_argnums=(2,))
+
+    clip = float(config.CLIP_GRAD_NORM)
+
+    def apply_(trainable, grad_accum, opt_state, lr):
+        clipped, raw_norm = adamw.clip_by_global_norm(grad_accum, clip)
+        new_params, new_state = adamw.apply_updates(
+            trainable, clipped, opt_state, opt_cfg, lr=lr)
+        return new_params, new_state, raw_norm
+
+    apply_fn = jax.jit(apply_, donate_argnums=(0, 1, 2))
+
+    opt_state = adamw.init_state(trainable, opt_cfg)
+    if resume_opt_state is not None and set(resume_opt_state.exp_avg) == set(trainable):
+        opt_state = resume_opt_state
+        print("INFO: Restored optimizer state from resume checkpoint.")
+    grad_accum = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
+    seed_arr = jnp.asarray(int(config.SEED or 42), jnp.int32)
+    print_optimizer_summary(config, opt_cfg, trainable, lr_curve.initial_lr, 1)
+
+    # ---- loop ----
+    reporter = MetricsReporter(total_steps=config.MAX_TRAIN_STEPS)
+    prefetcher = BatchPrefetcher(
+        dataset, packed, start_step=micro_step if config.RESUME_TRAINING else 0)
+    diag_losses: deque = deque(maxlen=config.GRADIENT_ACCUMULATION_STEPS)
+    step_times: deque = deque(maxlen=50)
+    optim_times: deque = deque(maxlen=20)
+    start = time.time()
+    last_step = time.time()
+    last_optim = time.time()
+    ga = config.GRADIENT_ACCUMULATION_STEPS
+
+    def save_checkpoint(step):
+        stem = output_model_stem(config, config.DIT_PATH)
+        torch_state = dit_mod.params_to_torch_state({**frozen, **trainable})
+        torch_state = {k: np.asarray(v) for k, v in torch_state.items()}
+        save_dit_model(output_dir / f"{stem}_step_{step}.safetensors",
+                       torch_state, prefix=save_prefix,
+                       dtype=config.compute_dtype)
+        save_train_state(
+            output_dir / f"{stem}_training_state_step_{step}.safetensors",
+            global_step=step, micro_step=micro_step,
+            opt_state=jax.tree.map(np.asarray, opt_state),
+            sampler_seed=initial_sampler_seed, sampler_epoch=0,
+            timestep_sampler_state=ts_sampler.state_dict())
+
+    for batch in prefetcher:
+        if micro_step >= config.MAX_TRAIN_STEPS:
+            break
+        if not batch:
+            continue
+        micro_step += 1
+        tickets = ts_sampler.sample(batch["latents"].shape[0])
+        keep = 0.0 if (micro_step - 1) % ga == 0 else 1.0
+        latents = batch["latents"]
+        if latents.ndim == 4 and latents.shape[1] == dit_cfg.in_channels \
+                and latents.shape[1] < latents.shape[-1]:
+            latents = np.transpose(latents, (0, 2, 3, 1))  # NCHW cache -> NHWC
+        loss_dev, sigma_dev, grad_accum = micro_fn(
+            trainable, frozen, grad_accum, jnp.asarray(latents),
+            jnp.asarray(batch["prompt_emb"]), jnp.asarray(batch["t5xxl_ids"]),
+            jnp.asarray(tickets), loss_weights, seed_arr,
+            jnp.asarray(micro_step, jnp.int32), jnp.asarray(keep, jnp.float32))
+
+        loss_val = float(loss_dev)
+        diag_losses.append(loss_val)
+        block = None
+        if micro_step % ga == 0:
+            lr = lr_curve.lr_at(micro_step)
+            trainable, opt_state, raw_norm = apply_fn(
+                trainable, grad_accum, opt_state, jnp.asarray(lr, jnp.float32))
+            grad_accum = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                                      trainable)
+            optimizer_step += 1
+            dt = time.time() - last_optim
+            optim_times.append(dt)
+            last_optim = time.time()
+            rn = float(raw_norm)
+            block = optimizer_block(
+                optimizer_step, sum(diag_losses) / max(len(diag_losses), 1),
+                lr, dt, sum(optim_times) / len(optim_times), rn,
+                min(rn, clip) if clip > 0 else rn, 1.0 if rn > 0 else 0.0)
+            diag_losses.clear()
+            scheduled = (config.SAVE_EVERY_N_STEPS > 0
+                         and optimizer_step % config.SAVE_EVERY_N_STEPS == 0)
+            forced = consume_force_save_flag(flag_path)
+            if scheduled or forced:
+                reason = ("Emergency checkpoint requested"
+                          if forced and not scheduled else "Saving checkpoint")
+                reporter.log_message(
+                    f"\n--- {reason} at optimizer step {optimizer_step} ---")
+                save_checkpoint(optimizer_step)
+
+        now = time.time()
+        step_times.append(now - last_step)
+        last_step = now
+        eta = ((config.MAX_TRAIN_STEPS - micro_step)
+               * (sum(step_times) / len(step_times)))
+        reporter.log_step(micro_step - 1, loss=loss_val,
+                          timestep=int(tickets[0]), sigma=float(sigma_dev),
+                          s_per_step=step_times[-1], eta=eta,
+                          elapsed=now - start, optim_block=block)
+
+    reporter.log_message("\nTraining complete.")
+    reporter.shutdown()
+    stem = output_model_stem(config, config.DIT_PATH)
+    torch_state = {k: np.asarray(v) for k, v in
+                   dit_mod.params_to_torch_state({**frozen, **trainable}).items()}
+    save_dit_model(output_dir / f"{stem}.safetensors", torch_state,
+                   prefix=save_prefix, dtype=config.compute_dtype)
+    print("All tasks complete. Final model saved.")
+
+
+def _dit_config_for_state(state: dict) -> dit_mod.AnimaDiTConfig:
+    """Detect the DiT size from checkpoint shapes (supports tiny test models)."""
+    from dataclasses import replace
+    d = int(state["x_embedder.proj.1.weight"].shape[0])
+    n = 0
+    while f"blocks.{n}.self_attn.q_proj.weight" in state:
+        n += 1
+    hd = int(state["blocks.0.self_attn.q_norm.weight"].shape[0])
+    ctx = int(state["blocks.0.cross_attn.k_proj.weight"].shape[1])
+    lora = int(state["blocks.0.adaln_modulation_self_attn.1.weight"].shape[0])
+    adapter_src = int(state["llm_adapter.blocks.0.cross_attn.k_proj.weight"].shape[1])
+    adapter_tgt = int(state["llm_adapter.embed.weight"].shape[1])
+    vocab = int(state["llm_adapter.embed.weight"].shape[0])
+    an = 0
+    while f"llm_adapter.blocks.{an}.cross_attn.q_proj.weight" in state:
+        an += 1
+    ahd = adapter_tgt // max(1, int(
+        state["llm_adapter.blocks.0.self_attn.q_norm.weight"].shape[0]))
+    return replace(
+        dit_mod.ANIMA_BASE, model_channels=d, num_blocks=n,
+        num_heads=d // hd, adaln_lora_dim=lora, crossattn_emb_channels=ctx,
+        adapter_source_dim=adapter_src, adapter_target_dim=adapter_tgt,
+        adapter_layers=an, adapter_vocab=vocab,
+        adapter_heads=adapter_tgt // int(
+            state["llm_adapter.blocks.0.self_attn.q_norm.weight"].shape[0]),
+        context_tokens=512 if d >= 1024 else 16)

@@ -1,0 +1,169 @@
+"""Qwen3 text encoder and Wan VAE encoder tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aozora_sdxl_training_tpu.models.anima import qwen3, wan_vae
+
+
+# ---------------- Qwen3 ----------------
+
+@pytest.fixture(scope="module")
+def tiny_qwen():
+    cfg = qwen3.TINY_QWEN3
+    return cfg, qwen3.init_params(cfg, jax.random.PRNGKey(0))
+
+
+def test_qwen3_forward_shape(tiny_qwen):
+    cfg, params = tiny_qwen
+    tokens = jnp.ones((2, 10), jnp.int32)
+    out = qwen3.qwen3_forward(params, tokens, None, cfg)
+    assert out.shape == (2, 10, cfg.hidden_size)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_qwen3_causality(tiny_qwen):
+    cfg, params = tiny_qwen
+    t1 = jnp.zeros((1, 8), jnp.int32)
+    t2 = t1.at[0, 7].set(5)
+    h1 = qwen3.qwen3_forward(params, t1, None, cfg)
+    h2 = qwen3.qwen3_forward(params, t2, None, cfg)
+    np.testing.assert_allclose(np.asarray(h1[0, :7]), np.asarray(h2[0, :7]),
+                               rtol=1e-5, atol=1e-6)
+    assert not np.allclose(np.asarray(h1[0, 7]), np.asarray(h2[0, 7]))
+
+
+def test_qwen3_padding_mask(tiny_qwen):
+    cfg, params = tiny_qwen
+    tokens = jnp.asarray([[3, 4, 5, 0, 0, 0]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 0, 0, 0]], jnp.int32)
+    h_masked = qwen3.qwen3_forward(params, tokens, mask, cfg)
+    # padded-out keys must not affect valid query positions
+    tokens2 = jnp.asarray([[3, 4, 5, 9, 9, 9]], jnp.int32)
+    h_masked2 = qwen3.qwen3_forward(params, tokens2, mask, cfg)
+    np.testing.assert_allclose(np.asarray(h_masked[0, :3]),
+                               np.asarray(h_masked2[0, :3]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_qwen3_gqa_repeat(tiny_qwen):
+    cfg, _ = tiny_qwen
+    assert cfg.num_heads % cfg.num_kv_heads == 0
+    shapes = qwen3.param_shapes(cfg)
+    assert shapes["model.layers.0.self_attn.q_proj.weight"] == (
+        cfg.hidden_size, cfg.num_heads * cfg.head_dim)
+    assert shapes["model.layers.0.self_attn.k_proj.weight"] == (
+        cfg.hidden_size, cfg.num_kv_heads * cfg.head_dim)
+
+
+def test_qwen3_detect_config_and_load(tiny_qwen):
+    cfg, params = tiny_qwen
+    # build a torch-layout state (transposed 2D weights)
+    state = {}
+    for name, arr in params.items():
+        a = np.asarray(arr)
+        if a.ndim == 2 and name != "model.embed_tokens.weight":
+            a = a.T
+        state[name] = a
+    detected = qwen3.detect_config(state)
+    assert detected.hidden_size == cfg.hidden_size
+    assert detected.num_layers == cfg.num_layers
+    assert detected.num_kv_heads == cfg.num_kv_heads
+    back = qwen3.params_from_torch_state(state, cfg)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(back[k]), np.asarray(params[k]))
+
+
+def test_qwen3_base_config_is_0_6b():
+    shapes = qwen3.param_shapes(qwen3.QWEN3_0_6B)
+    total = sum(int(np.prod(s)) for s in shapes.values())
+    # Qwen3-0.6B ~0.6e9 params (0.44B non-embedding + 155M embed)
+    assert 5.5e8 < total < 7.5e8
+
+
+# ---------------- Wan VAE ----------------
+
+@pytest.fixture(scope="module")
+def tiny_vae():
+    cfg = wan_vae.TINY_WAN_VAE
+    return cfg, wan_vae.init_params(cfg, jax.random.PRNGKey(1))
+
+
+def test_wan_vae_encode_shape(tiny_vae):
+    cfg, params = tiny_vae
+    px = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3)) * 0.5
+    lat = wan_vae.encode_image(params, px, cfg=cfg)
+    assert lat.shape == (1, 8, 8, cfg.z_dim)
+    assert bool(jnp.isfinite(lat).all())
+
+
+def test_wan_vae_normalization_applied(tiny_vae):
+    cfg, params = tiny_vae
+    px = jnp.zeros((1, 32, 32, 3))
+    raw = wan_vae.encode_image(params, px, cfg=cfg, normalize=False)
+    normed = wan_vae.encode_image(params, px, cfg=cfg, normalize=True)
+    mean = wan_vae.LATENT_MEAN[: cfg.z_dim]
+    std = wan_vae.LATENT_STD[: cfg.z_dim]
+    np.testing.assert_allclose(
+        np.asarray(normed), (np.asarray(raw) - mean) / std, rtol=1e-4,
+        atol=1e-5)
+
+
+def test_wan_vae_torch_state_load(tiny_vae):
+    cfg, params = tiny_vae
+    # synthesize torch layout: conv HWIO -> (O,I,kt,kh,kw) with 3 temporal
+    # slices; only the last slice should be used
+    rng = np.random.default_rng(3)
+    state = {}
+    for name, arr in params.items():
+        a = np.asarray(arr)
+        if name.endswith(".gamma"):
+            state[f"model.{name}"] = a.reshape(a.shape[0], 1, 1)
+        elif a.ndim == 4:  # HWIO -> OIHW -> add temporal axis
+            oihw = np.transpose(a, (3, 2, 0, 1))
+            kt = 3 if a.shape[0] == 3 else 1
+            t_slices = [rng.normal(size=oihw.shape).astype(np.float32)
+                        for _ in range(kt - 1)] + [oihw]
+            state[f"model.{name}"] = np.stack(t_slices, axis=2)
+        else:
+            state[f"model.{name}"] = a
+    # 2D convs in Resample stay 4D in torch
+    for key in list(state):
+        if ".resample.1.weight" in key:
+            state[key] = state[key][:, :, -1]
+    loaded = wan_vae.params_from_torch_state(state, cfg)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(loaded[k]), np.asarray(params[k]),
+                                   rtol=1e-6, err_msg=k)
+
+
+def test_tile_tasks_cover_plane():
+    # image equals one tile -> single task
+    assert len(wan_vae.tile_tasks(768, 768, 768, 768, 576, 576)) == 1
+    # 1024px with 768 tiles / 576 stride -> 2x2 overlapping tiles
+    tasks = wan_vae.tile_tasks(1024, 1024, 768, 768, 576, 576)
+    assert len(tasks) == 4
+    covered = np.zeros((1024, 1024), bool)
+    for top, bottom, left, right in tasks:
+        covered[top:min(bottom, 1024), left:min(right, 1024)] = True
+    assert covered.all()
+
+
+def test_tiled_encode_matches_single_when_one_tile(tiny_vae):
+    cfg, params = tiny_vae
+    px = np.asarray(jax.random.normal(jax.random.PRNGKey(4), (1, 64, 64, 3)))
+    single = np.asarray(wan_vae.encode_image(params, jnp.asarray(px), cfg=cfg))
+    tiled = wan_vae.encode_image_tiled(params, px, cfg=cfg,
+                                       tile_size=(8, 8), tile_stride=(8, 8))
+    np.testing.assert_allclose(tiled, single, rtol=1e-4, atol=1e-5)
+
+
+def test_tiled_encode_blends_overlaps(tiny_vae):
+    cfg, params = tiny_vae
+    px = np.asarray(jax.random.normal(jax.random.PRNGKey(5), (1, 128, 128, 3))) * 0.3
+    tiled = wan_vae.encode_image_tiled(params, px, cfg=cfg,
+                                       tile_size=(12, 12), tile_stride=(8, 8))
+    assert tiled.shape == (1, 16, 16, cfg.z_dim)
+    assert np.isfinite(tiled).all()

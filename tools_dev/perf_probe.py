@@ -1,0 +1,76 @@
+"""Perf probe: time SDXL UNet micro-step variants on the real chip.
+
+Usage: python tools_dev/perf_probe.py remat=0 batch=1 attn=flash latent=128
+"""
+
+import sys; sys.path.insert(0, "/root/repo")
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+args = dict(a.split("=") for a in sys.argv[1:])
+remat = bool(int(args.get("remat", 1)))
+batch = int(args.get("batch", 1))
+attn = args.get("attn", "flash")
+latent = int(args.get("latent", 128))
+
+from aozora_sdxl_training_tpu.models.sdxl.arch import SDXL_BASE
+from aozora_sdxl_training_tpu.models.sdxl.unet import init_params, unet_forward
+from aozora_sdxl_training_tpu.train import objectives
+
+cfg = SDXL_BASE
+params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+
+
+def loss_fn(params, latents, noise, tickets, embeds, pooled, time_ids):
+    noisy, target, t_cond, _ = objectives.prepare_batch(
+        "v_prediction", latents, noise, tickets)
+    pred = unet_forward(params, noisy.astype(jnp.bfloat16), t_cond, embeds,
+                        pooled, time_ids, cfg=cfg, attn_impl=attn,
+                        compute_dtype=jnp.bfloat16, remat=remat)
+    return objectives.weighted_mse_loss(pred, target, tickets, None)
+
+
+grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+key = jax.random.PRNGKey(1)
+inputs = (
+    params,
+    jax.random.normal(key, (batch, latent, latent, 4), jnp.float32),
+    jax.random.normal(jax.random.fold_in(key, 1),
+                      (batch, latent, latent, 4), jnp.float32),
+    jnp.full((batch,), 500, jnp.int32),
+    jax.random.normal(jax.random.fold_in(key, 2), (batch, 77, 2048), jnp.bfloat16),
+    jax.random.normal(jax.random.fold_in(key, 3), (batch, 1280), jnp.bfloat16),
+    jnp.tile(jnp.asarray([[1024, 1024, 0, 0, 1024, 1024]], jnp.float32),
+             (batch, 1)),
+)
+
+t0 = time.perf_counter()
+loss, grads = grad_fn(*inputs)
+jax.block_until_ready(grads)
+print(f"compile {time.perf_counter()-t0:.1f}s loss={float(loss):.4f}", flush=True)
+
+iters = 10
+t0 = time.perf_counter()
+for _ in range(iters):
+    loss, grads = grad_fn(*inputs)
+jax.block_until_ready(grads)
+dt = (time.perf_counter() - t0) / iters
+try:
+    cost = grad_fn.lower(*inputs).compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0))
+except Exception:
+    flops = 0
+mfu = flops / dt / 197e12 if flops else float("nan")
+mem = jax.devices()[0].memory_stats() or {}
+peak = mem.get("peak_bytes_in_use", 0) / 1e9
+print(f"remat={remat} batch={batch} attn={attn} latent={latent}: "
+      f"{dt*1e3:.1f}ms/step {dt/batch:.4f}s/img MFU~{mfu:.1%} "
+      f"peakHBM={peak:.1f}GB", flush=True)
