@@ -281,6 +281,12 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
 
     pending = None  # (micro_step, loss_dev, sigma_dev, ticket, optim_diag)
 
+    # SURVEY §5.1: profiler trace behind a flag — AOZORA_PROFILE_DIR=/path
+    # captures steps 3..8 as a jax.profiler trace (view with tensorboard/xprof)
+    import os as _os
+    profile_dir = _os.environ.get("AOZORA_PROFILE_DIR")
+    profile_window = (3, 8)
+
     def emit(pending_entry, s_per_step):
         ms, loss_dev, sigma_dev, ticket, diag = pending_entry
         loss_val = float(loss_dev)
@@ -327,6 +333,8 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
         if not batch:
             continue
         micro_step += 1
+        if profile_dir and micro_step == profile_window[0]:
+            jax.profiler.start_trace(profile_dir)
         tickets = ts_sampler.sample(batch["latents"].shape[0])
         ticket0 = int(tickets[0])
         keep = 0.0 if (micro_step - 1) % ga == 0 else 1.0
@@ -362,6 +370,11 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
                 reporter.log_message(
                     f"\n--- {reason} at optimizer step {optimizer_step} ---")
                 save_checkpoint(optimizer_step)
+
+        if profile_dir and micro_step == profile_window[1]:
+            jax.block_until_ready(loss_dev)
+            jax.profiler.stop_trace()
+            reporter.log_message(f"INFO: profiler trace written to {profile_dir}")
 
         # report the *previous* step so we never block on the in-flight one
         now = time.time()
