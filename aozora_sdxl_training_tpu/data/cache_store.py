@@ -336,7 +336,32 @@ def save_payload(path, tensors: dict, meta: dict) -> None:
 
 
 def load_payload(path) -> tuple[dict, dict]:
-    """Returns (tensors as numpy-convertible jnp arrays, metadata dict)."""
+    """Returns (tensors as numpy/jnp arrays, metadata dict).
+
+    Uses the native mmap reader (data/fast_io.py, csrc/) when built; falls
+    back to the safetensors library otherwise.
+    """
+    from . import fast_io
+    if fast_io.available():
+        from ..ckpt.safetensors_io import numpy_dtype_for, read_metadata
+        import struct as _struct
+        with open(path, "rb") as f:
+            (n,) = _struct.unpack("<Q", f.read(8))
+            header = json.loads(f.read(n))
+        meta = json.loads((header.pop("__metadata__", {}) or {}).get("json", "{}"))
+        tensors = {}
+        ok = True
+        for key, spec in header.items():
+            arr = fast_io.read_tensor(path, key,
+                                      numpy_dtype_for(spec["dtype"]),
+                                      spec["shape"])
+            if arr is None:
+                ok = False
+                break
+            tensors[key] = arr
+        if ok:
+            return tensors, meta
+
     from safetensors import safe_open
     tensors = {}
     with safe_open(str(path), framework="flax") as f:

@@ -1,0 +1,115 @@
+"""Mesh sharding rules + multi-device vs single-device equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from aozora_sdxl_training_tpu.models.sdxl.arch import TINY
+from aozora_sdxl_training_tpu.models.sdxl.unet import init_params
+from aozora_sdxl_training_tpu.opt import adamw
+from aozora_sdxl_training_tpu.parallel import sharding as shard
+from aozora_sdxl_training_tpu.train.train_step import (
+    TrainStepConfig,
+    jit_train_functions,
+    split_trainable,
+    zero_grad_accum,
+)
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_param_partition_spec_rules():
+    assert shard.param_partition_spec((64,), 8) == P()            # tiny
+    # largest divisible axis is sharded
+    assert shard.param_partition_spec((4096, 1024), 8) == P("dp", None)
+    assert shard.param_partition_spec((1027, 33), 8, min_shard_elements=1) == P()
+    # conv kernel: out-features axis preferred (last, largest divisible)
+    assert shard.param_partition_spec((3, 3, 320, 320), 8,
+                                      min_shard_elements=1) == P(None, None, None, "dp")
+    assert shard.param_partition_spec((100, 100), 1) == P()        # 1 device
+
+
+@requires_8
+def test_make_mesh():
+    mesh = shard.make_mesh(jax.devices())
+    assert mesh.axis_names == ("dp",)
+    assert mesh.devices.size == 8
+    with pytest.raises(ValueError):
+        shard.make_mesh(jax.devices()[:6], dp=4)
+
+
+@requires_8
+def test_sharded_training_matches_single_device():
+    """One full micro+optimizer step on an 8-device dp mesh must produce the
+    same loss and parameters as the single-device run."""
+    cfg = TrainStepConfig(unet=TINY, prediction_type="v_prediction",
+                          grad_accum_steps=1, clip_grad_norm=1.0,
+                          attn_impl="xla", compute_dtype=jnp.float32,
+                          remat=False)
+    opt_cfg = adamw.AdamWConfig(momentum_dtype=jnp.float32)
+    params = init_params(TINY, jax.random.PRNGKey(0))
+    trainable, frozen = split_trainable(params, ["conv1", "conv2"])
+
+    b = 8
+    rng = np.random.default_rng(0)
+    batch = dict(
+        latents=rng.normal(size=(b, 8, 8, 4)).astype(np.float32),
+        embeds=rng.normal(size=(b, 7, TINY.cross_attention_dim)).astype(np.float32),
+        pooled=rng.normal(size=(b, TINY.pooled_projection_dim)).astype(np.float32),
+        time_ids=np.ones((b, 6), np.float32),
+        tickets=rng.integers(0, 1000, b).astype(np.int64),
+    )
+    loss_weights = jnp.ones(1000, jnp.float32)
+    common = (jnp.asarray(batch["latents"]), jnp.asarray(batch["embeds"]),
+              jnp.asarray(batch["pooled"]), jnp.asarray(batch["time_ids"]),
+              jnp.asarray(batch["tickets"]), loss_weights,
+              jnp.asarray(42, jnp.int32), jnp.asarray(1, jnp.int32),
+              jnp.asarray(0.0, jnp.float32))
+
+    def fresh_copy(tree):
+        # donation-safe: each run gets its own device buffers
+        return jax.tree.map(lambda x: jnp.array(x, copy=True), tree)
+
+    # single device
+    micro1, apply1 = jit_train_functions(cfg, opt_cfg)
+    g1 = zero_grad_accum(trainable)
+    t1 = fresh_copy(trainable)
+    loss1, _, g1 = micro1(t1, frozen, g1, *common)
+    p1, s1, n1 = apply1(t1, g1, adamw.init_state(fresh_copy(trainable), opt_cfg),
+                        jnp.asarray(1e-4, jnp.float32))
+
+    # 8-device mesh, fsdp-ish shardings
+    mesh = shard.make_mesh(jax.devices())
+    min_el = 1024
+    opt_state = adamw.init_state(trainable, opt_cfg)
+    shardings = {
+        "trainable": shard.params_shardings(trainable, mesh, min_shard_elements=min_el),
+        "frozen": shard.params_shardings(frozen, mesh, min_shard_elements=min_el),
+        "grad_accum": shard.params_shardings(trainable, mesh, min_shard_elements=min_el),
+        "opt_state": adamw.AdamWState(
+            step=shard.replicated(mesh),
+            exp_avg=shard.params_shardings(opt_state.exp_avg, mesh, min_shard_elements=min_el),
+            exp_avg_sq=shard.params_shardings(opt_state.exp_avg_sq, mesh, min_shard_elements=min_el)),
+        "batch": jax.sharding.NamedSharding(mesh, P("dp")),
+        "replicated": shard.replicated(mesh),
+    }
+    micro8, apply8 = jit_train_functions(cfg, opt_cfg, shardings=shardings)
+    t8 = shard.put_tree(fresh_copy(trainable), shardings["trainable"])
+    f8 = shard.put_tree(frozen, shardings["frozen"])
+    o8 = shard.put_tree(opt_state, shardings["opt_state"])
+    g8 = shard.put_tree(zero_grad_accum(trainable), shardings["grad_accum"])
+    loss8, _, g8 = micro8(t8, f8, g8, *common)
+    p8, s8, n8 = apply8(t8, g8, o8, jnp.asarray(1e-4, jnp.float32))
+
+    assert float(loss1) == pytest.approx(float(loss8), rel=1e-5)
+    assert float(n1) == pytest.approx(float(n8), rel=1e-4)
+    for key in ("conv_in.weight", "mid_block.attentions.0.proj_in.weight"):
+        np.testing.assert_allclose(np.asarray(p1[key]), np.asarray(p8[key]),
+                                   rtol=1e-5, atol=1e-6, err_msg=key)
+    # sharded moments really are distributed
+    big_key = max(trainable, key=lambda k: trainable[k].size)
+    sh = s8.exp_avg[big_key].sharding
+    assert sh.spec != P()
