@@ -6,12 +6,10 @@ from __future__ import annotations
 
 
 def main(argv=None) -> None:
-    import os
+    from ..core.platform import apply_platform_override, enable_compilation_cache
 
-    platform = os.environ.get("AOZORA_PLATFORM")
-    if platform:
-        import jax
-        jax.config.update("jax_platforms", platform)
+    apply_platform_override()
+    enable_compilation_cache()
 
     from ..config.runtime import RuntimeConfig
     from ..train.anima_trainer import run_anima_training

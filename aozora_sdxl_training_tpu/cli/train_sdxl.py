@@ -7,14 +7,10 @@ from __future__ import annotations
 
 
 def main(argv=None) -> None:
-    import os
+    from ..core.platform import apply_platform_override, enable_compilation_cache
 
-    # Dev escape hatch: AOZORA_PLATFORM=cpu runs the trainer on host CPU
-    # (the container sitecustomize pins JAX_PLATFORMS to the TPU plugin).
-    platform = os.environ.get("AOZORA_PLATFORM")
-    if platform:
-        import jax
-        jax.config.update("jax_platforms", platform)
+    apply_platform_override()
+    enable_compilation_cache()
 
     from ..config.runtime import RuntimeConfig
     from ..train.trainer import run_sdxl_training

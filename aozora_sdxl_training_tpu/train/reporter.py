@@ -31,16 +31,8 @@ def format_hms(seconds) -> str:
 
 def device_memory_gb() -> tuple[float, float]:
     """(reserved_gb, allocated_gb) from the first accelerator, else zeros."""
-    try:
-        import jax
-        stats = jax.devices()[0].memory_stats() or {}
-        in_use = stats.get("bytes_in_use", 0) / 1e9
-        limit = stats.get("bytes_reservable_limit",
-                          stats.get("bytes_limit", 0)) / 1e9
-        peak = stats.get("peak_bytes_in_use", in_use) / 1e9
-        return peak or limit, in_use
-    except Exception:
-        return 0.0, 0.0
+    from ..core.platform import device_memory_gb as _impl
+    return _impl()
 
 
 def progress_line(micro_step: int, total_steps: int, loss: float,

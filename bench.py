@@ -64,7 +64,18 @@ def main() -> None:
                             compute_dtype=jnp.bfloat16, remat=True)
         return objectives.weighted_mse_loss(pred, target, tickets, None)
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    value_and_grad = jax.value_and_grad(loss_fn)
+
+    def _step(*a):
+        # reduce grads to a norm inside jit: the real trainer feeds grads
+        # into donated accumulators, so no 5 GB gradient pytree should ever
+        # round-trip out of the step
+        loss, grads = value_and_grad(*a)
+        gsq = sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                  for g in jax.tree.leaves(grads))
+        return loss, jnp.sqrt(gsq)
+
+    grad_fn = jax.jit(_step)
 
     key = jax.random.PRNGKey(1)
     latents = jax.random.normal(key, (batch, latent_hw, latent_hw, 4), jnp.float32)
@@ -80,8 +91,8 @@ def main() -> None:
 
     # compile + warmup
     t0 = time.perf_counter()
-    loss, grads = grad_fn(*args)
-    jax.block_until_ready(grads)
+    loss, gnorm = grad_fn(*args)
+    jax.block_until_ready(gnorm)
     compile_s = time.perf_counter() - t0
     print(f"bench: compile+first-step {compile_s:.1f}s loss={float(loss):.4f}",
           file=sys.stderr)
@@ -89,8 +100,8 @@ def main() -> None:
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        loss, grads = grad_fn(*args)
-    jax.block_until_ready(grads)
+        loss, gnorm = grad_fn(*args)
+    jax.block_until_ready(gnorm)
     dt = (time.perf_counter() - t0) / iters
     s_per_image = dt / batch
 

@@ -14,7 +14,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 args = dict(a.split("=") for a in sys.argv[1:])
-remat = bool(int(args.get("remat", 1)))
+remat_raw = str(args.get("remat", "1"))
+remat = {"0": False, "1": True}.get(remat_raw, remat_raw)
 batch = int(args.get("batch", 1))
 attn = args.get("attn", "flash")
 latent = int(args.get("latent", 128))
@@ -36,7 +37,15 @@ def loss_fn(params, latents, noise, tickets, embeds, pooled, time_ids):
     return objectives.weighted_mse_loss(pred, target, tickets, None)
 
 
-grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+value_and_grad = jax.value_and_grad(loss_fn)
+
+def _step(*a):
+    loss, grads = value_and_grad(*a)
+    gsq = sum(jnp.sum(g.astype(jnp.float32) ** 2)
+              for g in jax.tree.leaves(grads))
+    return loss, jnp.sqrt(gsq)
+
+grad_fn = jax.jit(_step)
 key = jax.random.PRNGKey(1)
 inputs = (
     params,
@@ -51,15 +60,15 @@ inputs = (
 )
 
 t0 = time.perf_counter()
-loss, grads = grad_fn(*inputs)
-jax.block_until_ready(grads)
+loss, gnorm = grad_fn(*inputs)
+jax.block_until_ready(gnorm)
 print(f"compile {time.perf_counter()-t0:.1f}s loss={float(loss):.4f}", flush=True)
 
 iters = 10
 t0 = time.perf_counter()
 for _ in range(iters):
-    loss, grads = grad_fn(*inputs)
-jax.block_until_ready(grads)
+    loss, gnorm = grad_fn(*inputs)
+jax.block_until_ready(gnorm)
 dt = (time.perf_counter() - t0) / iters
 try:
     cost = grad_fn.lower(*inputs).compile().cost_analysis()
