@@ -59,7 +59,9 @@ TINY_WAN_VAE = WanVaeConfig(dim=8, z_dim=4)
 
 def _conv2d(params: Params, name: str, x: jax.Array, *, stride: int = 1,
             pad=None) -> jax.Array:
-    kernel = params[f"{name}.weight"].astype(x.dtype)  # HWIO
+    kernel = params[f"{name}.weight"].astype(x.dtype)  # HWIO or THWIO
+    if kernel.ndim == 5:  # full causal-3D kernel: last temporal slice (T=1)
+        kernel = kernel[-1]
     kh, kw = kernel.shape[0], kernel.shape[1]
     if pad is None:
         pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
@@ -154,6 +156,106 @@ def encode_image(params: Params, pixels: jax.Array, *,
 
 
 # --------------------------------------------------------------------------
+# Video mode: full causal-3D encode (B, T, H, W, C)
+# --------------------------------------------------------------------------
+#
+# The reference streams videos in chunks of 4 frames with a 2-frame feature
+# cache (vae_encoder.py:22-41, 293-304).  Run over the whole sequence, that
+# streaming is mathematically identical to:
+# * CausalConv3d k=3: conv over the full sequence with 2 leading zero frames;
+# * downsample3d: spatial stride-2 conv per frame, then frame 0 passes
+#   through while frames 1.. go through the temporal stride-2 conv with
+#   windows (f0,f1,f2), (f2,f3,f4), ... (no padding).
+# Full-sequence causal convs are the natural TPU formulation (one big conv
+# instead of a frame-cache state machine), so that is what we implement.
+
+def _causal_conv3d(params: Params, name: str, x: jax.Array, *,
+                   temporal_stride: int = 1) -> jax.Array:
+    """x: (B, T, H, W, C); kernel (kt, kh, kw, I, O) with causal temporal pad
+    2*(kt//2) in front (CausalConv3d semantics, vae_encoder.py:22-41)."""
+    kernel = params[f"{name}.weight"].astype(x.dtype)
+    if kernel.ndim == 4:  # image-mode params: treat as kt=1
+        kernel = kernel[None]
+    kt, kh, kw = kernel.shape[0], kernel.shape[1], kernel.shape[2]
+    pad = ((2 * (kt // 2), 0), (kh // 2, kh // 2), (kw // 2, kw // 2))
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (temporal_stride, 1, 1), pad,
+        dimension_numbers=("NTHWC", "THWIO", "NTHWC"))
+    bias = params.get(f"{name}.bias")
+    return y if bias is None else y + bias.astype(y.dtype)
+
+
+def _video_map_frames(fn, x: jax.Array) -> jax.Array:
+    """Apply an image-space (B,H,W,C) function per frame of (B,T,H,W,C)."""
+    b, t = x.shape[0], x.shape[1]
+    y = fn(x.reshape((b * t,) + x.shape[2:]))
+    return y.reshape((b, t) + y.shape[1:])
+
+
+def _video_residual_block(params: Params, prefix: str, x: jax.Array) -> jax.Array:
+    if f"{prefix}.shortcut.weight" in params:
+        identity = _causal_conv3d(params, f"{prefix}.shortcut", x)
+    else:
+        identity = x
+    h = _channel_rms_norm(params, f"{prefix}.residual.0", x)
+    h = _causal_conv3d(params, f"{prefix}.residual.2", jax.nn.silu(h))
+    h = _channel_rms_norm(params, f"{prefix}.residual.3", h)
+    h = _causal_conv3d(params, f"{prefix}.residual.6", jax.nn.silu(h))
+    return h + identity
+
+
+def _video_downsample(params: Params, prefix: str, x: jax.Array,
+                      temporal: bool) -> jax.Array:
+    x = _video_map_frames(lambda f: _conv2d(params, f"{prefix}.resample.1", f,
+                                            stride=2, pad=((0, 1), (0, 1))), x)
+    if not temporal or x.shape[1] == 1:
+        return x
+    if f"{prefix}.time_conv.weight" not in params:
+        raise ValueError(f"video encode needs {prefix}.time_conv weights "
+                         "(checkpoint loaded in image mode?)")
+    # frame 0 bypasses; remaining frames: stride-2 windows (f0,f1,f2), ...
+    kernel = params[f"{prefix}.time_conv.weight"].astype(x.dtype)  # (kt,1,1,I,O)
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (2, 1, 1), ((0, 0), (0, 0), (0, 0)),
+        dimension_numbers=("NTHWC", "THWIO", "NTHWC"))
+    bias = params.get(f"{prefix}.time_conv.bias")
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return jnp.concatenate([x[:, :1], y], axis=1)
+
+
+def encode_video(params: Params, video: jax.Array, *,
+                 cfg: WanVaeConfig = WAN_VAE, normalize: bool = True,
+                 compute_dtype=jnp.float32) -> jax.Array:
+    """video: (B, T, H, W, 3) in [-1, 1], T = 1 + 4k ->
+    (B, (T+3)//4, H/8, W/8, z) normalized latents."""
+    temporal_flags = (False, True, True)  # _EncoderCore temperal_downsample
+    x = video.astype(compute_dtype)
+    x = _causal_conv3d(params, "encoder.conv1", x)
+    down_index = 0
+    for kind, name, _, _ in encoder_layout(cfg):
+        if kind == "res":
+            x = _video_residual_block(params, f"encoder.{name}", x)
+        else:
+            x = _video_downsample(params, f"encoder.{name}", x,
+                                  temporal_flags[down_index])
+            down_index += 1
+    x = _video_residual_block(params, "encoder.middle.0", x)
+    x = _video_map_frames(
+        lambda f: _attention_block(params, "encoder.middle.1", f), x)
+    x = _video_residual_block(params, "encoder.middle.2", x)
+    x = _channel_rms_norm(params, "encoder.head.0", x)
+    x = _causal_conv3d(params, "encoder.head.2", jax.nn.silu(x))
+    x = _causal_conv3d(params, "conv1", x)
+    mu = x[..., : cfg.z_dim]
+    if not normalize:
+        return mu
+    mean = jnp.asarray(LATENT_MEAN[: cfg.z_dim], mu.dtype)
+    inv_std = jnp.asarray(1.0 / LATENT_STD[: cfg.z_dim], mu.dtype)
+    return (mu - mean) * inv_std
+
+
+# --------------------------------------------------------------------------
 # Tiled encode (spatial)
 # --------------------------------------------------------------------------
 
@@ -224,9 +326,11 @@ def params_from_torch_state(state: dict, cfg: WanVaeConfig = WAN_VAE,
                             dtype=jnp.float32) -> Params:
     """Torch ``model.*`` keys -> image-mode param dict.
 
-    Causal 3D conv kernels (O, I, kt, kh, kw) keep only their last temporal
-    slice (exact for single-frame inputs — see module docstring) and
-    transpose to HWIO.  RMS-norm gammas squeeze their broadcast dims.
+    Causal 3D conv kernels (O, I, kt, kh, kw) are kept in full as
+    (kt, kh, kw, I, O) — the image path uses the last temporal slice (exact
+    for single-frame inputs, see module docstring), the video path uses the
+    full kernel.  2D convs transpose to HWIO; RMS-norm gammas squeeze their
+    broadcast dims.
     """
     params: Params = {}
     for key, value in state.items():
@@ -237,8 +341,8 @@ def params_from_torch_state(state: dict, cfg: WanVaeConfig = WAN_VAE,
         arr = jnp.asarray(value)
         if key.endswith(".gamma"):
             params[key] = arr.reshape(arr.shape[0]).astype(dtype)
-        elif arr.ndim == 5:   # (O, I, kt, kh, kw) -> last-t slice -> HWIO
-            params[key] = jnp.transpose(arr[:, :, -1], (2, 3, 1, 0)).astype(dtype)
+        elif arr.ndim == 5:   # (O, I, kt, kh, kw) -> (kt, kh, kw, I, O)
+            params[key] = jnp.transpose(arr, (2, 3, 4, 1, 0)).astype(dtype)
         elif arr.ndim == 4:   # 2D conv (O, I, kh, kw) -> HWIO
             params[key] = jnp.transpose(arr, (2, 3, 1, 0)).astype(dtype)
         else:

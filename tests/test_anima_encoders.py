@@ -135,8 +135,74 @@ def test_wan_vae_torch_state_load(tiny_vae):
             state[key] = state[key][:, :, -1]
     loaded = wan_vae.params_from_torch_state(state, cfg)
     for k in params:
-        np.testing.assert_allclose(np.asarray(loaded[k]), np.asarray(params[k]),
-                                   rtol=1e-6, err_msg=k)
+        got = np.asarray(loaded[k])
+        if got.ndim == 5:
+            got = got[-1]  # image path consumes the last temporal slice
+        np.testing.assert_allclose(got, np.asarray(params[k]), rtol=1e-6,
+                                   err_msg=k)
+    # image encode runs identically through full-3D kernels
+    px = jnp.asarray(np.random.default_rng(9).normal(size=(1, 32, 32, 3)),
+                     jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(wan_vae.encode_image(loaded, px, cfg=cfg)),
+        np.asarray(wan_vae.encode_image(params, px, cfg=cfg)),
+        rtol=1e-4, atol=1e-5)
+
+
+def _video_params(cfg, seed=7):
+    """Full causal-3D params: random temporal kernels incl. time_conv."""
+    rng = np.random.default_rng(seed)
+    params = {}
+    for name, arr in wan_vae.init_params(cfg, jax.random.PRNGKey(seed)).items():
+        a = np.asarray(arr)
+        if a.ndim == 4 and a.shape[0] == 3 and ".resample." not in name:
+            kt = np.stack([rng.normal(size=a.shape).astype(np.float32) * 0.02,
+                           rng.normal(size=a.shape).astype(np.float32) * 0.02,
+                           a], axis=0)
+            params[name] = jnp.asarray(kt)
+        else:
+            params[name] = arr
+    # time_conv for the two temporal downsample stages (layout indices)
+    for kind, lname, in_dim, out_dim in wan_vae.encoder_layout(cfg):
+        if kind == "down":
+            params[f"encoder.{lname}.time_conv.weight"] = jnp.asarray(
+                rng.normal(size=(3, 1, 1, out_dim, out_dim)).astype(np.float32)
+                * 0.05)
+            params[f"encoder.{lname}.time_conv.bias"] = jnp.zeros(
+                out_dim, jnp.float32)
+    return params
+
+
+def test_video_encode_shapes(tiny_vae):
+    cfg, _ = tiny_vae
+    params = _video_params(cfg)
+    vid = jax.random.normal(jax.random.PRNGKey(3), (1, 5, 32, 32, 3)) * 0.3
+    lat = wan_vae.encode_video(params, vid, cfg=cfg)
+    assert lat.shape == (1, (5 + 3) // 4, 4, 4, cfg.z_dim)
+    assert bool(jnp.isfinite(lat).all())
+
+
+def test_video_single_frame_matches_image(tiny_vae):
+    cfg, _ = tiny_vae
+    params = _video_params(cfg)
+    px = jax.random.normal(jax.random.PRNGKey(4), (1, 32, 32, 3)) * 0.3
+    img_lat = wan_vae.encode_image(params, px, cfg=cfg)
+    vid_lat = wan_vae.encode_video(params, px[:, None], cfg=cfg)
+    np.testing.assert_allclose(np.asarray(vid_lat[:, 0]), np.asarray(img_lat),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_video_encode_causal(tiny_vae):
+    """Changing trailing frames must not affect the first latent frame."""
+    cfg, _ = tiny_vae
+    params = _video_params(cfg)
+    v1 = jax.random.normal(jax.random.PRNGKey(5), (1, 5, 32, 32, 3)) * 0.3
+    v2 = v1.at[:, 3:].set(0.0)
+    l1 = wan_vae.encode_video(params, v1, cfg=cfg)
+    l2 = wan_vae.encode_video(params, v2, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(l1[:, 0]), np.asarray(l2[:, 0]),
+                               rtol=1e-4, atol=1e-5)
+    assert not np.allclose(np.asarray(l1[:, 1]), np.asarray(l2[:, 1]))
 
 
 def test_tile_tasks_cover_plane():
