@@ -15,7 +15,7 @@ flat->nested naming and per-mode visibility.
 from __future__ import annotations
 
 import copy
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 CONFIG_VERSION = 5

@@ -15,8 +15,6 @@ Softmax is always computed in fp32 regardless of compute dtype.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

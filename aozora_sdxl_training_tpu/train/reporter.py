@@ -19,7 +19,6 @@ from __future__ import annotations
 import math
 import queue
 import threading
-import time
 
 
 def format_hms(seconds) -> str:

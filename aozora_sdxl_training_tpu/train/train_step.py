@@ -19,7 +19,6 @@ train.py:2664-2667); gradients exist only for the trainable subset.
 from __future__ import annotations
 
 import fnmatch
-import functools
 from dataclasses import dataclass
 from typing import Any
 

@@ -30,7 +30,6 @@ from ..ckpt.sd_checkpoint import (detect_unet_io_channels, load_sd_tensors,
                                   save_merged_checkpoint)
 from ..ckpt.train_state import (load_train_state, output_model_stem,
                                 save_train_state)
-from ..data import cache_store as cs
 from ..data.cache_builder import check_if_caching_needed, precompute_and_cache
 from ..data.dataset import BatchPrefetcher, CachedLatentDataset, pack_sample_schedule
 from ..data.schedule import TimestepTicketSampler, build_image_batch_schedule
