@@ -156,7 +156,9 @@ def run_anima_training(config) -> None:
     lr_curve = curves.LRCurve(config.LR_CUSTOM_CURVE, config.MAX_TRAIN_STEPS)
     remat = str(getattr(config, "ANIMA_GRADIENT_CHECKPOINTING_MODE",
                         "Full")).title() != "Off"
-    attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    attn_impl = ("flash" if str(getattr(
+        config, "MEMORY_EFFICIENT_ATTENTION", "sdpa")).lower()
+        in ("flash", "pallas") and jax.default_backend() == "tpu" else "xla")
     micro = make_anima_micro_step(
         dit_cfg, grad_accum_steps=config.GRADIENT_ACCUMULATION_STEPS,
         compute_dtype=config.compute_dtype, attn_impl=attn_impl, remat=remat)

@@ -215,10 +215,14 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
         prediction_type=config.PREDICTION_TYPE,
         grad_accum_steps=config.GRADIENT_ACCUMULATION_STEPS,
         clip_grad_norm=float(config.CLIP_GRAD_NORM),
+        # Attention backend switch (the reference's sdpa/cudnn/xformers knob,
+        # train.py:197-229): the CUDA options map to XLA's fused attention —
+        # measured faster than the Pallas kernel at SDXL shapes on v5e —
+        # while "flash"/"pallas" select the custom kernel explicitly.
         attn_impl=("flash" if str(getattr(
             config, "MEMORY_EFFICIENT_ATTENTION", "sdpa")).lower()
-            in ("flash", "sdpa", "cudnn", "xformers", "pytorch29_optimized")
-            and jax.default_backend() == "tpu" else "xla"),
+            in ("flash", "pallas") and jax.default_backend() == "tpu"
+            else "xla"),
         compute_dtype=config.compute_dtype,
         remat=True)
 

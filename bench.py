@@ -48,8 +48,10 @@ def main() -> None:
     batch = 1
     latent_hw = 128  # 1024px
     seq = 77
-    on_tpu = jax.default_backend() == "tpu"
-    attn_impl = "flash" if on_tpu else "xla"
+    # Measured on v5e r1: XLA's fused attention beats the Pallas flash kernel
+    # at SDXL shapes (head_dim 64 underutilizes the MXU in the custom kernel):
+    # xla 353ms/38.6% MFU vs flash 445ms/26.3% at identical config.
+    attn_impl = "xla"
 
     print(f"bench: backend={jax.default_backend()} batch={batch} "
           f"latent={latent_hw} attn={attn_impl}", file=sys.stderr)
