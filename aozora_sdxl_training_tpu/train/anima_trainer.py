@@ -88,7 +88,10 @@ def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
     return micro_step
 
 
-def run_anima_training(config) -> None:
+def run_anima_training(config, *, post_step_hook=None) -> None:
+    """``post_step_hook(trainable_numpy_dict) -> updated_numpy_dict`` runs
+    after every optimizer step on host copies of the trainable params — the
+    QAT repair trainer's projected-quantization hook plugs in here."""
     output_dir = Path(config.OUTPUT_DIR)
     output_dir.mkdir(parents=True, exist_ok=True)
     flag_path = force_save_flag_path()
@@ -236,6 +239,11 @@ def run_anima_training(config) -> None:
             grad_accum = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
                                       trainable)
             optimizer_step += 1
+            if post_step_hook is not None:
+                host = {k: np.asarray(v) for k, v in trainable.items()}
+                projected = post_step_hook(host)
+                trainable = {k: jnp.asarray(projected.get(k, v))
+                             for k, v in host.items()}
             dt = time.time() - last_optim
             optim_times.append(dt)
             last_optim = time.time()
