@@ -122,6 +122,37 @@ def main() -> None:
         print(f"bench: step={dt*1e3:.1f}ms  s/img={s_per_image:.4f}  "
               f"MFU~{mfu:.1%}", file=sys.stderr)
 
+    # secondary metric: fused optimizer-step time on an attention-only
+    # trainable subset (reference: ~15 s CPU-offloaded, readme.md:14)
+    try:
+        from aozora_sdxl_training_tpu.opt import adamw
+        from aozora_sdxl_training_tpu.train.train_step import split_trainable
+        trainable, _ = split_trainable(
+            params, ["conv1", "conv2", "norm", "conv_in", "conv_out",
+                     "ff", "proj", "time_emb", "embedding"])
+        opt_cfg = adamw.AdamWConfig()
+        state = adamw.init_state(trainable, opt_cfg)
+
+        @jax.jit
+        def opt_step(p, g, s):
+            return adamw.apply_updates(p, g, s, opt_cfg, lr=1e-6)
+
+        fake_grads = jax.tree.map(
+            lambda x: jnp.ones(x.shape, jnp.float32) * 1e-4, trainable)
+        p2, s2 = opt_step(trainable, fake_grads, state)
+        jax.block_until_ready(p2)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            p2, s2 = opt_step(p2, fake_grads, s2)
+        jax.block_until_ready(p2)
+        opt_dt = (time.perf_counter() - t0) / 5
+        n_el = sum(int(x.size) for x in trainable.values())
+        print(f"bench: optimizer step ({n_el/1e6:.0f}M params) "
+              f"{opt_dt*1e3:.1f}ms (reference: ~15000ms CPU-offloaded)",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"bench: optimizer-step timing skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "sdxl_1024px_vpred_full_unet_microstep_s_per_image",
         "value": round(s_per_image, 5),
