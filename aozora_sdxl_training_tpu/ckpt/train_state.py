@@ -51,10 +51,18 @@ def save_train_state(path, *, global_step: int, micro_step: int,
                      sampler_epoch: int, timestep_sampler_state: dict | None,
                      extra: dict | None = None) -> None:
     tensors = {"opt.step": np.asarray(opt_state.step)}
+
+    def put(prefix, name, value):
+        if isinstance(value, tuple):  # int8_blockwise (codes, scales)
+            tensors[f"{prefix}.{name}"] = np.asarray(value[0])
+            tensors[f"{prefix}.{name}@scales"] = np.asarray(value[1])
+        else:
+            tensors[f"{prefix}.{name}"] = np.asarray(value)
+
     for name, m in opt_state.exp_avg.items():
-        tensors[f"m.{name}"] = np.asarray(m)
+        put("m", name, m)
     for name, v in opt_state.exp_avg_sq.items():
-        tensors[f"v.{name}"] = np.asarray(v)
+        put("v", name, v)
     meta = {
         "global_step": global_step,
         "micro_step": micro_step,
@@ -71,9 +79,18 @@ def load_train_state(path) -> tuple[dict, AdamWState]:
     import jax.numpy as jnp
     meta = json.loads(read_metadata(path).get("json", "{}"))
     tensors = load_all(path)
-    m = {k[len("m."):]: jnp.asarray(v) for k, v in tensors.items()
-         if k.startswith("m.")}
-    v = {k[len("v."):]: jnp.asarray(t) for k, t in tensors.items()
-         if k.startswith("v.")}
+
+    def collect(prefix):
+        out = {}
+        for k, t in tensors.items():
+            if not k.startswith(prefix) or k.endswith("@scales"):
+                continue
+            name = k[len(prefix):]
+            scales = tensors.get(f"{prefix}{name}@scales")
+            out[name] = ((jnp.asarray(t), jnp.asarray(scales))
+                         if scales is not None else jnp.asarray(t))
+        return out
+
     step = jnp.asarray(tensors.get("opt.step", np.zeros((), np.int32)))
-    return meta, AdamWState(step=step, exp_avg=m, exp_avg_sq=v)
+    return meta, AdamWState(step=step, exp_avg=collect("m."),
+                            exp_avg_sq=collect("v."))

@@ -30,19 +30,31 @@ import jax
 import jax.numpy as jnp
 
 
+INT8_BLOCK = 256  # elements per quantization block for int8 moment storage
+
+
 @dataclass(frozen=True)
 class AdamWConfig:
     betas: tuple[float, float] = (0.9, 0.999)
     eps: float = 1e-8
     weight_decay: float = 0.01
     debias_strength: float = 0.3
+    # jnp dtype, or the string "int8_blockwise" for 8-bit moments with
+    # per-256-element fp32 absmax scales (the TPU-native analogue of
+    # bitsandbytes' paged blockwise-8-bit state, train.py:2271-2289)
     momentum_dtype: Any = jnp.bfloat16
+
+    @property
+    def int8_state(self) -> bool:
+        return self.momentum_dtype == "int8_blockwise"
 
     @classmethod
     def from_params_dict(cls, raw: dict) -> "AdamWConfig":
+        name = str(raw.get("momentum_dtype", "bfloat16"))
         dtype = {"bfloat16": jnp.bfloat16, "float16": jnp.float16,
-                 "float32": jnp.float32}.get(
-                     str(raw.get("momentum_dtype", "bfloat16")), jnp.bfloat16)
+                 "float32": jnp.float32,
+                 "int8": "int8_blockwise",
+                 "int8_blockwise": "int8_blockwise"}.get(name, jnp.bfloat16)
         return cls(
             betas=tuple(raw.get("betas", (0.9, 0.999))),
             eps=float(raw.get("eps", 1e-8)),
@@ -52,6 +64,42 @@ class AdamWConfig:
         )
 
 
+def _int8_blocks(n: int) -> int:
+    return -(-n // INT8_BLOCK)
+
+
+def quantize_moment_int8(m32: jax.Array):
+    """fp32 tensor -> (int8 codes [same shape], fp32 scales [n_blocks])."""
+    flat = m32.reshape(-1)
+    nb = _int8_blocks(flat.size)
+    padded = jnp.pad(flat, (0, nb * INT8_BLOCK - flat.size))
+    blocks = padded.reshape(nb, INT8_BLOCK)
+    scales = jnp.maximum(jnp.abs(blocks).max(axis=1), 1e-30) / 127.0
+    codes = jnp.clip(jnp.round(blocks / scales[:, None]), -127, 127)
+    return (codes.reshape(-1)[: flat.size].reshape(m32.shape).astype(jnp.int8),
+            scales.astype(jnp.float32))
+
+
+def dequantize_moment_int8(codes: jax.Array, scales: jax.Array) -> jax.Array:
+    flat = codes.reshape(-1).astype(jnp.float32)
+    nb = scales.shape[0]
+    padded = jnp.pad(flat, (0, nb * INT8_BLOCK - flat.size))
+    out = padded.reshape(nb, INT8_BLOCK) * scales[:, None]
+    return out.reshape(-1)[: flat.size].reshape(codes.shape)
+
+
+def quantize_second_moment_int8(v32: jax.Array):
+    """Second moments quantize in the sqrt domain: v spans ~6 orders of
+    magnitude within a block (linear int8 would wreck small-v elements and
+    hence their Adam denominators), sqrt(v) only ~3."""
+    return quantize_moment_int8(jnp.sqrt(jnp.maximum(v32, 0.0)))
+
+
+def dequantize_second_moment_int8(codes: jax.Array, scales: jax.Array):
+    root = dequantize_moment_int8(codes, scales)
+    return root * root
+
+
 class AdamWState(NamedTuple):
     step: jax.Array             # () int32 — shared across params
     exp_avg: Any                # pytree like params, momentum_dtype
@@ -59,10 +107,16 @@ class AdamWState(NamedTuple):
 
 
 def init_state(params, cfg: AdamWConfig, trainable_mask=None) -> AdamWState:
-    """Zero moments; frozen params get zero-size placeholders to save HBM."""
+    """Zero moments; frozen params get zero-size placeholders to save HBM.
+
+    int8_blockwise mode stores each moment as a (codes int8, scales fp32)
+    tuple leaf-pair."""
     def zeros(p, trainable):
         if not trainable:
-            return jnp.zeros((), cfg.momentum_dtype)
+            return jnp.zeros((), jnp.float32)
+        if cfg.int8_state:
+            return (jnp.zeros(p.shape, jnp.int8),
+                    jnp.full((_int8_blocks(int(p.size)),), 1e-30, jnp.float32))
         return jnp.zeros(p.shape, cfg.momentum_dtype)
 
     if trainable_mask is None:
@@ -98,13 +152,22 @@ def apply_updates(params, grads, state: AdamWState, cfg: AdamWConfig, *,
         if not trainable:
             return p, m, v
         g32 = g.astype(jnp.float32)
-        m32 = m.astype(jnp.float32) * beta1 + g32 * (1.0 - beta1)
-        v32 = v.astype(jnp.float32) * beta2 + g32 * g32 * (1.0 - beta2)
+        if cfg.int8_state:
+            m32 = dequantize_moment_int8(*m)
+            v32 = dequantize_second_moment_int8(*v)
+        else:
+            m32 = m.astype(jnp.float32)
+            v32 = v.astype(jnp.float32)
+        m32 = m32 * beta1 + g32 * (1.0 - beta1)
+        v32 = v32 * beta2 + g32 * g32 * (1.0 - beta2)
         p32 = p.astype(jnp.float32)
         if cfg.weight_decay != 0.0:
             p32 = p32 * wd_factor
         denom = jnp.sqrt(v32) / sqrt_bc2 + cfg.eps
         p32 = p32 - step_size * m32 / denom
+        if cfg.int8_state:
+            return (p32.astype(p.dtype), quantize_moment_int8(m32),
+                    quantize_second_moment_int8(v32))
         return (p32.astype(p.dtype),
                 m32.astype(cfg.momentum_dtype),
                 v32.astype(cfg.momentum_dtype))

@@ -101,6 +101,9 @@ def make_optimizer_config(config) -> adamw.AdamWConfig:
     elif opt_type == "paged_adamw_8bit":
         raw = dict(getattr(config, "PAGED_ADAMW_8BIT_PARAMS", {}) or {})
         raw.setdefault("debias_strength", 1.0)  # standard AdamW bias correction
+        # bnb's paged blockwise-8-bit state -> int8 moments with per-block
+        # scales in HBM (no paging needed on TPU)
+        raw.setdefault("momentum_dtype", "int8_blockwise")
     else:
         raise ValueError(f"Unsupported optimizer type: '{config.OPTIMIZER_TYPE}'")
     return adamw.AdamWConfig.from_params_dict(raw)
@@ -124,7 +127,9 @@ def print_optimizer_summary(config, opt_cfg: adamw.AdamWConfig, trainable,
     print(f"  - Epsilon:             {opt_cfg.eps:.8g}")
     print(f"  - Weight decay:        {opt_cfg.weight_decay:.8g}")
     print(f"  - Debias strength:     {opt_cfg.debias_strength:.8g}")
-    print(f"  - Momentum state:      HBM {jnp.dtype(opt_cfg.momentum_dtype).name}, "
+    dtype_name = (opt_cfg.momentum_dtype if isinstance(opt_cfg.momentum_dtype, str)
+                  else jnp.dtype(opt_cfg.momentum_dtype).name)
+    print(f"  - Momentum state:      HBM {dtype_name}, "
           f"sharded over {n_devices} device(s) (ZeRO)")
     print("  - Update math:         fused FP32 XLA kernel (no host offload)")
     print("=" * 58 + "\n")

@@ -79,3 +79,59 @@ def test_clip_by_global_norm():
     # disabled clipping
     same, norm2 = adamw.clip_by_global_norm(grads, 0.0)
     np.testing.assert_array_equal(np.asarray(same["a"]), np.asarray(grads["a"]))
+
+
+def test_int8_blockwise_moment_roundtrip():
+    rng = np.random.default_rng(7)
+    m = jnp.asarray(rng.normal(size=(3, 300)).astype(np.float32) * 0.01)
+    codes, scales = adamw.quantize_moment_int8(m)
+    assert codes.dtype == jnp.int8 and codes.shape == m.shape
+    assert scales.shape == (adamw._int8_blocks(900),)
+    back = adamw.dequantize_moment_int8(codes, scales)
+    # linear int8: error bounded by half a quant step per block
+    err = np.abs(np.asarray(back) - np.asarray(m))
+    bound = np.asarray(scales).max() * 0.51
+    assert err.max() <= bound
+
+
+def test_int8_blockwise_adamw_tracks_fp32():
+    rng = np.random.default_rng(8)
+    p0 = rng.normal(size=(16, 64)).astype(np.float32)
+    params8 = {"w": jnp.asarray(p0)}
+    params32 = {"w": jnp.asarray(p0)}
+    cfg8 = adamw.AdamWConfig(momentum_dtype="int8_blockwise",
+                             debias_strength=1.0)
+    cfg32 = adamw.AdamWConfig(momentum_dtype=jnp.float32, debias_strength=1.0)
+    s8 = adamw.init_state(params8, cfg8)
+    s32 = adamw.init_state(params32, cfg32)
+    assert isinstance(s8.exp_avg["w"], tuple)
+    for step in range(5):
+        g = {"w": jnp.asarray(rng.normal(size=p0.shape).astype(np.float32))}
+        params8, s8 = adamw.apply_updates(params8, g, s8, cfg8, lr=1e-3)
+        params32, s32 = adamw.apply_updates(params32, g, s32, cfg32, lr=1e-3)
+    # 8-bit state tracks the fp32 trajectory closely at these scales
+    drift = np.abs(np.asarray(params8["w"]) - np.asarray(params32["w"])).max()
+    movement = np.abs(np.asarray(params32["w"]) - p0).max()
+    assert drift < movement * 0.05  # sqrt-domain v keeps drift ~2%
+
+
+def test_int8_state_save_load_roundtrip(tmp_path):
+    from aozora_sdxl_training_tpu.ckpt.train_state import (load_train_state,
+                                                           save_train_state)
+    cfg = adamw.AdamWConfig(momentum_dtype="int8_blockwise")
+    params = {"w": jnp.ones((4, 300))}
+    state = adamw.init_state(params, cfg)
+    params, state = adamw.apply_updates(
+        params, {"w": jnp.full((4, 300), 0.1)}, state, cfg, lr=1e-3)
+    path = tmp_path / "state.safetensors"
+    import jax
+    save_train_state(path, global_step=1, micro_step=1,
+                     opt_state=jax.tree.map(np.asarray, state),
+                     sampler_seed=1, sampler_epoch=0,
+                     timestep_sampler_state=None)
+    meta, loaded = load_train_state(path)
+    assert isinstance(loaded.exp_avg["w"], tuple)
+    np.testing.assert_array_equal(np.asarray(loaded.exp_avg["w"][0]),
+                                  np.asarray(state.exp_avg["w"][0]))
+    np.testing.assert_allclose(np.asarray(loaded.exp_avg["w"][1]),
+                               np.asarray(state.exp_avg["w"][1]))
