@@ -1,0 +1,110 @@
+"""Fused GroupNorm+SiLU Pallas kernel (NHWC).
+
+The UNet's resnet prologue is ``silu(group_norm(x))`` — a memory-bound
+elementwise+reduction pair (BASELINE.json names fused conv+GroupNorm+SiLU as
+a target kernel).  This kernel runs the canonical two-phase schedule in one
+``pallas_call``: phase 0 streams H-tiles accumulating per-group sum/sumsq in
+VMEM scratch; phase 1 re-streams the tiles applying normalize+affine+SiLU —
+one kernel launch, fp32 statistics, no intermediate HBM tensor between norm
+and activation.
+
+Used behind ``group_norm_silu`` which falls back to the XLA composition on
+CPU or when shapes don't tile (C must be lane-aligned per group).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, scale_ref, bias_ref, o_ref, sum_ref, sq_ref, *,
+            groups: int, eps: float, hw_total: int, num_tiles: int):
+    phase = pl.program_id(1)
+    it = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(phase == 0, it == 0))
+    def _():
+        sum_ref[:] = jnp.zeros_like(sum_ref)
+        sq_ref[:] = jnp.zeros_like(sq_ref)
+
+    x = x_ref[0].astype(jnp.float32)          # (TILE_HW, C)
+    c = x.shape[-1]
+    per_group = c // groups
+
+    @pl.when(phase == 0)
+    def _():
+        xg = x.reshape(x.shape[0], groups, per_group)
+        sum_ref[:] += jnp.sum(xg, axis=(0, 2))[None, :]
+        sq_ref[:] += jnp.sum(xg * xg, axis=(0, 2))[None, :]
+
+    @pl.when(phase == 1)
+    def _():
+        n = hw_total * per_group
+        mean = sum_ref[0] / n                                  # (groups,)
+        var = sq_ref[0] / n - mean * mean
+        inv = jax.lax.rsqrt(var + eps)
+        mean_c = jnp.repeat(mean, per_group, total_repeat_length=c)
+        inv_c = jnp.repeat(inv, per_group, total_repeat_length=c)
+        y = (x - mean_c[None, :]) * inv_c[None, :]
+        y = y * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+        o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+
+
+def group_norm_silu_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                           *, groups: int, eps: float = 1e-5,
+                           tile_hw: int = 512,
+                           interpret: bool = False) -> jax.Array:
+    """x: (B, H, W, C) -> silu(affine(group_norm(x))); one fused kernel."""
+    b, h, w, c = x.shape
+    hw = h * w
+    x2 = x.reshape(b, hw, c)
+    if hw % tile_hw:
+        tile_hw = hw  # small inputs: single tile
+    num_tiles = hw // tile_hw
+
+    kernel = functools.partial(_kernel, groups=groups, eps=eps, hw_total=hw,
+                               num_tiles=num_tiles)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, 2, num_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile_hw, c), lambda ib, ph, it: (ib, it, 0)),
+            pl.BlockSpec((1, c), lambda ib, ph, it: (0, 0)),
+            pl.BlockSpec((1, c), lambda ib, ph, it: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_hw, c), lambda ib, ph, it: (ib, it, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, groups), jnp.float32),
+            pltpu.VMEM((1, groups), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2, scale[None], bias[None])
+    return out.reshape(b, h, w, c)
+
+
+def group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array, *,
+                    groups: int, eps: float = 1e-5,
+                    use_pallas: bool | None = None) -> jax.Array:
+    """Fused GN+SiLU with automatic backend choice."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas or jax.default_backend() == "cpu":
+        try:
+            return group_norm_silu_pallas(
+                x, scale, bias, groups=groups, eps=eps,
+                interpret=jax.default_backend() == "cpu")
+        except Exception:  # noqa: BLE001 — fall back to the XLA composition
+            pass
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h * w, groups, c // groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    xf = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
+    y = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return (y * jax.nn.sigmoid(y)).astype(x.dtype)
