@@ -110,14 +110,23 @@ def timestep_embedding(timesteps: jax.Array, dim: int,
 # Blocks
 # --------------------------------------------------------------------------
 
+def _gn_silu(params: Params, name: str, x: jax.Array, groups: int,
+             fused: bool) -> jax.Array:
+    if fused:
+        from ...ops.groupnorm_silu import group_norm_silu
+        return group_norm_silu(x, params[f"{name}.weight"],
+                               params[f"{name}.bias"], groups=groups)
+    return jax.nn.silu(group_norm(params, name, x, groups=groups))
+
+
 def resnet_block(params: Params, prefix: str, x: jax.Array, temb: jax.Array,
-                 *, groups: int) -> jax.Array:
-    h = group_norm(params, f"{prefix}.norm1", x, groups=groups)
-    h = conv2d(params, f"{prefix}.conv1", jax.nn.silu(h))
+                 *, groups: int, fused_gn: bool = False) -> jax.Array:
+    h = conv2d(params, f"{prefix}.conv1",
+               _gn_silu(params, f"{prefix}.norm1", x, groups, fused_gn))
     t = linear(params, f"{prefix}.time_emb_proj", jax.nn.silu(temb))
     h = h + t[:, None, None, :].astype(h.dtype)
-    h = group_norm(params, f"{prefix}.norm2", h, groups=groups)
-    h = conv2d(params, f"{prefix}.conv2", jax.nn.silu(h))
+    h = conv2d(params, f"{prefix}.conv2",
+               _gn_silu(params, f"{prefix}.norm2", h, groups, fused_gn))
     if f"{prefix}.conv_shortcut.weight" in params:
         x = conv2d(params, f"{prefix}.conv_shortcut", x)
     return x + h
@@ -206,7 +215,8 @@ def unet_forward(params: Params,
                  cfg: UNetConfig,
                  attn_impl: str = "xla",
                  compute_dtype=jnp.bfloat16,
-                 remat: bool = False) -> jax.Array:
+                 remat: bool = False,
+                 fused_gn: bool = False) -> jax.Array:
     """SDXL UNet forward.
 
     sample: (B, H, W, C_in) NHWC latents.
@@ -235,7 +245,8 @@ def unet_forward(params: Params,
     temb = (temb + add_emb).astype(compute_dtype)
 
     res_fn = _maybe_remat(
-        functools.partial(resnet_block, groups=groups), remat)
+        functools.partial(resnet_block, groups=groups, fused_gn=fused_gn),
+        remat)
 
     def tf2d_fn(p, prefix, h, ctx, depth, heads):
         fn = _maybe_remat(
