@@ -361,6 +361,8 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
                 trainable, grad_accum, opt_state,
                 jnp.asarray(lr, jnp.float32))
             grad_accum = zero_grad_accum(trainable)
+            if shardings is not None:
+                grad_accum = shard.put_tree(grad_accum, shardings["grad_accum"])
             optimizer_step += 1
             global_step = optimizer_step
             optim_dt = time.time() - last_optim_time

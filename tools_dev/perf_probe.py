@@ -19,6 +19,7 @@ remat = {"0": False, "1": True}.get(remat_raw, remat_raw)
 batch = int(args.get("batch", 1))
 attn = args.get("attn", "flash")
 latent = int(args.get("latent", 128))
+fused_gn = bool(int(args.get("fused_gn", 0)))
 
 from aozora_sdxl_training_tpu.models.sdxl.arch import SDXL_BASE
 from aozora_sdxl_training_tpu.models.sdxl.unet import init_params, unet_forward
@@ -33,7 +34,8 @@ def loss_fn(params, latents, noise, tickets, embeds, pooled, time_ids):
         "v_prediction", latents, noise, tickets)
     pred = unet_forward(params, noisy.astype(jnp.bfloat16), t_cond, embeds,
                         pooled, time_ids, cfg=cfg, attn_impl=attn,
-                        compute_dtype=jnp.bfloat16, remat=remat)
+                        compute_dtype=jnp.bfloat16, remat=remat,
+                        fused_gn=fused_gn)
     return objectives.weighted_mse_loss(pred, target, tickets, None)
 
 
@@ -80,6 +82,6 @@ except Exception:
 mfu = flops / dt / 197e12 if flops else float("nan")
 mem = jax.devices()[0].memory_stats() or {}
 peak = mem.get("peak_bytes_in_use", 0) / 1e9
-print(f"remat={remat} batch={batch} attn={attn} latent={latent}: "
+print(f"remat={remat} batch={batch} attn={attn} latent={latent} fused_gn={fused_gn}: "
       f"{dt*1e3:.1f}ms/step {dt/batch:.4f}s/img MFU~{mfu:.1%} "
       f"peakHBM={peak:.1f}GB", flush=True)
