@@ -1,0 +1,117 @@
+"""Live-metrics parsing: trainer stdout -> chart series.
+
+The display-independent core of the reference GUI's ``LiveMetricsWidget``
+(/root/reference/gui/gui.py:1853-1932): the same regex grammar over trainer
+stdout, EMA smoothing, and per-chart history series.  The Tk front-end
+(gui/app.py) renders these; tests drive them headless.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import deque
+from dataclasses import dataclass, field
+
+PROGRESS_TICKET_RE = re.compile(
+    r'Training\s*\|.*\|\s*(\d+)/(\d+)\s*\[.*?\]\s*\[Loss:\s*([\d.e+-]+),'
+    r'\s*Ticket:\s*(\d+),\s*Sigma:\s*([\d.e+-]+)\]')
+PROGRESS_TIMESTEP_RE = re.compile(
+    r'Training\s*\|.*\|\s*(\d+)/(\d+)\s*\[.*?\]\s*\[Loss:\s*([\d.e+-]+),'
+    r'\s*Timestep:\s*(\d+)\]')
+OPTIM_RE = re.compile(
+    r'--- Optimizer Step:\s*(\d+)\s*\|\s*Loss:\s*([\d.e+-]+)\s*\|'
+    r'\s*LR:\s*([\d.e+-]+)\s*---')
+GRAD_RE = re.compile(r'Grad Norm \(Raw/Clipped\):\s*([\d.]+)\s*/\s*([\d.]+)')
+# failure keywords the GUI flags (gui.py:2731-2732); word-bounded so that
+# "info" and "infinite scroll" prose don't false-positive
+FAILURE_RE = re.compile(r"cuda out of memory|access violation|\bnan\b|"
+                        r"\binf\b|resource_exhausted", re.IGNORECASE)
+
+
+@dataclass
+class Series:
+    xs: deque = field(default_factory=lambda: deque(maxlen=20000))
+    ys: deque = field(default_factory=lambda: deque(maxlen=20000))
+
+    def append(self, x, y):
+        self.xs.append(x)
+        self.ys.append(y)
+
+    def last(self):
+        return (self.xs[-1], self.ys[-1]) if self.xs else None
+
+
+class LiveMetrics:
+    """Stateful stdout parser with the GUI's chart series + EMA smoothing."""
+
+    def __init__(self, ema_beta: float = 0.98):
+        self.ema_beta = ema_beta
+        self.step_loss = Series()
+        self.loss_ema = Series()
+        self.optim_loss = Series()
+        self.optim_loss_ema = Series()
+        self.lr = Series()
+        self.grad_raw = Series()
+        self.grad_clipped = Series()
+        self.timesteps: deque = deque(maxlen=20000)
+        self.sigmas: deque = deque(maxlen=20000)
+        self.failures: list[str] = []
+        self._step_ema = None
+        self._optim_ema = None
+        self._last_optim_step = None
+        self.total_steps = None
+
+    def parse_line(self, text: str) -> bool:
+        """Feed one stdout line; returns True if anything was extracted."""
+        added = False
+        m = PROGRESS_TICKET_RE.search(text) or PROGRESS_TIMESTEP_RE.search(text)
+        if m:
+            is_ticket = bool(PROGRESS_TICKET_RE.search(text))
+            step = int(m.group(1)) - 1
+            self.total_steps = int(m.group(2))
+            loss = float(m.group(3))
+            ticket = int(m.group(4))
+            self.step_loss.append(step, loss)
+            self._step_ema = (loss if self._step_ema is None else
+                              self.ema_beta * self._step_ema
+                              + (1 - self.ema_beta) * loss)
+            self.loss_ema.append(step, self._step_ema)
+            self.timesteps.append(ticket)
+            if is_ticket:
+                self.sigmas.append(float(m.group(5)))
+            added = True
+        m = OPTIM_RE.search(text)
+        if m:
+            step, avg_loss, lr = int(m.group(1)), float(m.group(2)), float(m.group(3))
+            self._last_optim_step = step
+            self.optim_loss.append(step, avg_loss)
+            self._optim_ema = (avg_loss if self._optim_ema is None else
+                               self.ema_beta * self._optim_ema
+                               + (1 - self.ema_beta) * avg_loss)
+            self.optim_loss_ema.append(step, self._optim_ema)
+            self.lr.append(step, lr)
+            added = True
+        m = GRAD_RE.search(text)
+        if m and self._last_optim_step is not None:
+            self.grad_raw.append(self._last_optim_step, float(m.group(1)))
+            self.grad_clipped.append(self._last_optim_step, float(m.group(2)))
+            added = True
+        if FAILURE_RE.search(text) and "Loss" not in text:
+            self.failures.append(text.strip())
+        return added
+
+    def status_line(self) -> str:
+        parts = []
+        if self.step_loss.last():
+            step, loss = self.step_loss.last()
+            parts.append(f"Step: {step} | Loss: {loss:.4f}")
+        if self.sigmas:
+            parts.append(f"Ticket: {self.timesteps[-1]} | "
+                         f"Sigma: {self.sigmas[-1]:.6f}")
+        elif self.timesteps:
+            parts.append(f"Timestep: {self.timesteps[-1]}")
+        if self.lr.last():
+            parts.append(f"LR: {self.lr.last()[1]:.2e}")
+        if self.grad_raw.last():
+            parts.append(f"Grad: {self.grad_raw.last()[1]:.4f}")
+        return " | ".join(parts)
