@@ -135,6 +135,27 @@ def print_optimizer_summary(config, opt_cfg: adamw.AdamWConfig, trainable,
     print("=" * 58 + "\n")
 
 
+def print_dataset_resolution_sample(dataset, sample_count: int = 5) -> None:
+    """Log the first cached items' bucket geometry (train.py:2224-2242)."""
+    sample_count = min(sample_count, len(dataset.items))
+    if sample_count <= 0:
+        return
+    plural = "s" if sample_count != 1 else ""
+    print(f"INFO: Dataset resolution sample ({sample_count} cached item{plural}):")
+    for item in dataset.items[:sample_count]:
+        ow, oh = item["original_size"]
+        tw, th = item["target_size"]
+        orig_ar = ow / oh if oh else 1.0
+        targ_ar = tw / th if th else 1.0
+        ar_err = (abs(orig_ar - targ_ar) / orig_ar * 100) if orig_ar else 0.0
+        stem = Path(item.get("relative_path", item["lat_path"])).stem
+        variant = item.get("bucket_variant_index", 0)
+        label = f", variant {variant}" if variant else ""
+        print(f"INFO:   {stem}: original {ow}x{oh} (AR {orig_ar:.4f}) -> "
+              f"target {tw}x{th} (AR {targ_ar:.4f}){label}, "
+              f"AR diff {ar_err:.2f}%, cropped not stretched")
+
+
 def print_param_stats(trainable: dict, frozen: dict) -> None:
     t = sum(int(p.size) for p in trainable.values())
     f = sum(int(p.size) for p in frozen.values())
@@ -198,6 +219,7 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
     # ---- schedules ----
     print("\n--- Initializing Dataset ---")
     dataset = CachedLatentDataset(config)
+    print_dataset_resolution_sample(dataset)
     ts_sampler = TimestepTicketSampler(config)
     if initial_ts_state is not None:
         ts_sampler.load_state_dict(initial_ts_state)
