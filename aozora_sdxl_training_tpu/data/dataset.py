@@ -231,20 +231,25 @@ class CachedLatentDataset:
 
 
 class BatchPrefetcher:
-    """Tiny background prefetcher: overlaps host cache reads with device work."""
+    """Tiny background prefetcher: overlaps host cache reads (and optional
+    device uploads via ``transform``) with device compute."""
 
-    def __init__(self, dataset: CachedLatentDataset, packed_schedule,
-                 start_step: int = 0, depth: int = 2):
+    def __init__(self, dataset, packed_schedule, start_step: int = 0,
+                 depth: int = 2, transform=None):
         self.dataset = dataset
         self.schedule = packed_schedule
         self.start = max(0, int(start_step))
+        self.transform = transform
         self._queue: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
         for step in range(self.start, len(self.schedule)):
-            self._queue.put(self.dataset.fetch_batch(self.schedule[step]))
+            batch = self.dataset.fetch_batch(self.schedule[step])
+            if batch is not None and self.transform is not None:
+                batch = self.transform(batch)
+            self._queue.put(batch)
         self._queue.put(StopIteration)
 
     def __iter__(self):

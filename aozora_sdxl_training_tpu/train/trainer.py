@@ -299,8 +299,20 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
 
     # ---- loop ----
     reporter = MetricsReporter(total_steps=config.MAX_TRAIN_STEPS)
+
+    def upload(batch):
+        # H2D copies happen in the prefetch thread, overlapping device compute
+        out = dict(batch)
+        for key in ("latents", "embeds", "pooled", "time_ids"):
+            arr = jnp.asarray(batch[key])
+            if use_mesh:
+                arr = jax.device_put(arr, shardings["batch"])
+            out[key] = arr
+        return out
+
     prefetcher = BatchPrefetcher(dataset, packed_schedule,
-                                 start_step=micro_step if config.RESUME_TRAINING else 0)
+                                 start_step=micro_step if config.RESUME_TRAINING else 0,
+                                 transform=upload)
     diag_losses: deque = deque(maxlen=config.GRADIENT_ACCUMULATION_STEPS)
     step_times: deque = deque(maxlen=50)
     optim_times: deque = deque(maxlen=20)
