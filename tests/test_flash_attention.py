@@ -90,3 +90,15 @@ def test_flash_bf16_inputs():
     np.testing.assert_allclose(
         np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32),
         rtol=2e-2, atol=2e-2)
+
+
+def test_flash_head_dim_128_anima_shape():
+    """Anima DiT uses head_dim 128 (full MXU lanes)."""
+    b, sq, skv, h, d = 1, 256, 256, 2, 128
+    q = _rand(20, (b, sq, h, d))
+    k = _rand(21, (b, skv, h, d))
+    v = _rand(22, (b, skv, h, d))
+    out = flash_attention(q, k, v)
+    ref = dot_product_attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
