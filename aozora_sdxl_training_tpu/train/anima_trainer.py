@@ -165,7 +165,6 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
     micro = make_anima_micro_step(
         dit_cfg, grad_accum_steps=config.GRADIENT_ACCUMULATION_STEPS,
         compute_dtype=config.compute_dtype, attn_impl=attn_impl, remat=remat)
-    micro_fn = jax.jit(micro, donate_argnums=(2,))
 
     clip = float(config.CLIP_GRAD_NORM)
 
@@ -175,13 +174,55 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
             trainable, clipped, opt_state, opt_cfg, lr=lr)
         return new_params, new_state, raw_norm
 
-    apply_fn = jax.jit(apply_, donate_argnums=(0, 1, 2))
-
     opt_state = adamw.init_state(trainable, opt_cfg)
     if resume_opt_state is not None and set(resume_opt_state.exp_avg) == set(trainable):
         opt_state = resume_opt_state
         print("INFO: Restored optimizer state from resume checkpoint.")
+
+    # mesh: dp batch sharding + FSDP/ZeRO params and optimizer state
+    from ..parallel import sharding as shard
+    devices = jax.devices()
+    use_mesh = len(devices) > 1 and config.BATCH_SIZE % len(devices) == 0
+    mesh_shardings = None
+    if use_mesh:
+        mesh = shard.make_mesh(devices)
+        mesh_shardings = {
+            "trainable": shard.params_shardings(trainable, mesh),
+            "frozen": shard.params_shardings(frozen, mesh),
+            "grad_accum": shard.params_shardings(trainable, mesh),
+            "opt_state": adamw.AdamWState(
+                step=shard.replicated(mesh),
+                exp_avg=shard.params_shardings(opt_state.exp_avg, mesh),
+                exp_avg_sq=shard.params_shardings(opt_state.exp_avg_sq, mesh)),
+            "batch": jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("dp")),
+            "replicated": shard.replicated(mesh),
+        }
+        trainable = shard.put_tree(trainable, mesh_shardings["trainable"])
+        frozen = shard.put_tree(frozen, mesh_shardings["frozen"])
+        opt_state = shard.put_tree(opt_state, mesh_shardings["opt_state"])
+        sh_b = mesh_shardings["batch"]
+        sh_r = mesh_shardings["replicated"]
+        micro_fn = jax.jit(
+            micro, donate_argnums=(2,),
+            in_shardings=(mesh_shardings["trainable"], mesh_shardings["frozen"],
+                          mesh_shardings["grad_accum"], sh_b, sh_b, sh_b,
+                          sh_b, sh_r, sh_r, sh_r, sh_r),
+            out_shardings=(sh_r, sh_r, mesh_shardings["grad_accum"]))
+        apply_fn = jax.jit(
+            apply_, donate_argnums=(0, 1, 2),
+            in_shardings=(mesh_shardings["trainable"],
+                          mesh_shardings["grad_accum"],
+                          mesh_shardings["opt_state"], sh_r),
+            out_shardings=(mesh_shardings["trainable"],
+                           mesh_shardings["opt_state"], sh_r))
+    else:
+        micro_fn = jax.jit(micro, donate_argnums=(2,))
+        apply_fn = jax.jit(apply_, donate_argnums=(0, 1, 2))
+
     grad_accum = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
+    if mesh_shardings is not None:
+        grad_accum = shard.put_tree(grad_accum, mesh_shardings["grad_accum"])
     seed_arr = jnp.asarray(int(config.SEED or 42), jnp.int32)
     print_optimizer_summary(config, opt_cfg, trainable, lr_curve.initial_lr, 1)
 
@@ -238,6 +279,9 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
                 trainable, grad_accum, opt_state, jnp.asarray(lr, jnp.float32))
             grad_accum = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
                                       trainable)
+            if mesh_shardings is not None:
+                grad_accum = shard.put_tree(grad_accum,
+                                            mesh_shardings["grad_accum"])
             optimizer_step += 1
             if post_step_hook is not None:
                 host = {k: np.asarray(v) for k, v in trainable.items()}
