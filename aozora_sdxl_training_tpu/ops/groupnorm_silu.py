@@ -88,19 +88,7 @@ def group_norm_silu_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array,
     return out.reshape(b, h, w, c)
 
 
-def group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array, *,
-                    groups: int, eps: float = 1e-5,
-                    use_pallas: bool | None = None) -> jax.Array:
-    """Fused GN+SiLU with automatic backend choice."""
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas or jax.default_backend() == "cpu":
-        try:
-            return group_norm_silu_pallas(
-                x, scale, bias, groups=groups, eps=eps,
-                interpret=jax.default_backend() == "cpu")
-        except Exception:  # noqa: BLE001 — fall back to the XLA composition
-            pass
+def _xla_reference(x, scale, bias, groups, eps):
     b, h, w, c = x.shape
     xf = x.astype(jnp.float32).reshape(b, h * w, groups, c // groups)
     mean = xf.mean(axis=(1, 3), keepdims=True)
@@ -108,3 +96,52 @@ def group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array, *,
     xf = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
     y = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return (y * jax.nn.sigmoid(y)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused(x, scale, bias, groups, eps):
+    return group_norm_silu_pallas(x, scale, bias, groups=groups, eps=eps,
+                                  interpret=jax.default_backend() == "cpu")
+
+
+def _fused_fwd(x, scale, bias, groups, eps):
+    return _fused(x, scale, bias, groups, eps), (x, scale, bias)
+
+
+def _fused_bwd(groups, eps, res, g):
+    """Backward of silu(affine(group_norm(x))) — plain-XLA math (the forward
+    fusion is the memory win; the backward matches the unfused cost)."""
+    x, scale, bias = res
+    b, h, w, c = x.shape
+    per_group = c // groups
+    xf = x.astype(jnp.float32).reshape(b, h * w, groups, per_group)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = ((xf - mean) * inv)                         # (b, hw, g, pg)
+    xhat_c = xhat.reshape(b, h, w, c)
+    z = xhat_c * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    sig = jax.nn.sigmoid(z)
+    dz = g.astype(jnp.float32) * sig * (1.0 + z * (1.0 - sig))
+    dscale = jnp.sum(dz * xhat_c, axis=(0, 1, 2))
+    dbias = jnp.sum(dz, axis=(0, 1, 2))
+    dxhat = (dz * scale.astype(jnp.float32)).reshape(b, h * w, groups, per_group)
+    m1 = dxhat.mean(axis=(1, 3), keepdims=True)
+    m2 = (dxhat * xhat).mean(axis=(1, 3), keepdims=True)
+    dx = (dxhat - m1 - xhat * m2) * inv
+    return (dx.reshape(b, h, w, c).astype(x.dtype),
+            dscale.astype(scale.dtype), dbias.astype(bias.dtype))
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array, *,
+                    groups: int, eps: float = 1e-5,
+                    use_pallas: bool | None = None) -> jax.Array:
+    """Fused GN+SiLU with automatic backend choice; differentiable."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "cpu")
+    if use_pallas:
+        return _fused(x, scale, bias, groups, eps)
+    return _xla_reference(x, scale, bias, groups, eps)

@@ -47,3 +47,24 @@ def test_dispatcher_fallback_matches():
                           jnp.asarray(bias), groups=6, use_pallas=False)
     ref = _reference(x, scale, bias, 6)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_gradients_match_reference():
+    from aozora_sdxl_training_tpu.ops.groupnorm_silu import (_xla_reference,
+                                                             group_norm_silu)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 16)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+
+    def loss_fused(x, s, b):
+        return jnp.sum(group_norm_silu(x, s, b, groups=4, use_pallas=True) ** 2)
+
+    def loss_ref(x, s, b):
+        return jnp.sum(_xla_reference(x, s, b, 4, 1e-5) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, scale, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_, name in zip(gf, gr, ("dx", "dscale", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
