@@ -48,8 +48,10 @@ def _kernel(x_ref, scale_ref, bias_ref, o_ref, sum_ref, sq_ref, *,
         mean = sum_ref[0] / n                                  # (groups,)
         var = sq_ref[0] / n - mean * mean
         inv = jax.lax.rsqrt(var + eps)
-        mean_c = jnp.repeat(mean, per_group, total_repeat_length=c)
-        inv_c = jnp.repeat(inv, per_group, total_repeat_length=c)
+        # expand per-group stats to per-channel via broadcast+reshape
+        # (jnp.repeat lowers to scatter, which Mosaic can't compile)
+        mean_c = jnp.broadcast_to(mean[:, None], (groups, per_group)).reshape(c)
+        inv_c = jnp.broadcast_to(inv[:, None], (groups, per_group)).reshape(c)
         y = (x - mean_c[None, :]) * inv_c[None, :]
         y = y * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
         o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
