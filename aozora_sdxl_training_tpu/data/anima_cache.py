@@ -139,6 +139,7 @@ class AnimaCacheEncoders:
         vae_state = load_vae_state(config.DIT_VAE_PATH)
         vae_params = wan_vae.params_from_torch_state(vae_state)
         del vae_state
+        v_cfg = wan_vae.detect_config(vae_params)
 
         qwen_tok = _load_hf_tokenizer(getattr(config, "TOKENIZER_PATH", ""))
         t5_tok = _load_hf_tokenizer(getattr(config, "TOKENIZER_T5XXL_PATH", ""))
@@ -148,7 +149,7 @@ class AnimaCacheEncoders:
         tiled = bool(getattr(config, "VAE_CACHING_TILED", True))
         tile_size = tuple(getattr(config, "VAE_CACHING_TILE_SIZE", [96, 96]))
         tile_stride = tuple(getattr(config, "VAE_CACHING_TILE_STRIDE", [72, 72]))
-        vae_jit = jax.jit(lambda px: wan_vae.encode_image(vae_params, px))
+        vae_jit = jax.jit(lambda px: wan_vae.encode_image(vae_params, px, cfg=v_cfg))
 
         def encode_prompt(captions: list[str]):
             ids, masks, t5_ids_list = [], [], []
@@ -168,7 +169,7 @@ class AnimaCacheEncoders:
             px = pixels_hwc[None]
             if tiled:
                 out = wan_vae.encode_image_tiled(
-                    vae_params, px, tile_size=tile_size,
+                    vae_params, px, cfg=v_cfg, tile_size=tile_size,
                     tile_stride=tile_stride, encode_fn=vae_jit)
             else:
                 out = np.asarray(vae_jit(jnp.asarray(px)), np.float32)

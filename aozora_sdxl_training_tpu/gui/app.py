@@ -1,4 +1,4 @@
-"""Minimal training GUI (tkinter): preset editing, launch, live metrics.
+"""Training GUI (tkinter): preset editing, launch, live charts.
 
 A lightweight shell over the same contracts the reference's PyQt GUI uses
 (/root/reference/gui/gui.py): nested preset JSON in, trainer subprocess with
@@ -6,6 +6,11 @@ A lightweight shell over the same contracts the reference's PyQt GUI uses
 emergency checkpointing.  The full-featured reference GUI also works against
 this framework unchanged (see train.py / train_anima.py shims); this app
 covers headless-server-adjacent setups where only tkinter is available.
+
+The heavy lifting is in toolkit-free models this file only renders:
+``theme`` (semantic palette + gui_state.json), ``charts`` (series store with
+min-max compaction), ``metrics`` (stdout grammar), ``datasets_model``
+(dataset cards + cache clearing), ``curve_models`` (curve editing).
 
 Run: ``python -m aozora_sdxl_training_tpu.gui [preset.json]``.
 """
@@ -17,9 +22,12 @@ import sys
 from pathlib import Path
 
 from ..config import schema
+from .charts import ChartModel, sample
+from .datasets_model import DatasetManager
 from .log_buffer import CompressedLogBuffer
 from .metrics import LiveMetrics
 from .process_runner import ProcessRunner, launch_trainer, request_force_save
+from .theme import THEME, GuiState, apply_to_ttk
 
 # keys exposed in the quick-edit form (the rest edit via JSON directly)
 FORM_KEYS = [
@@ -30,6 +38,70 @@ FORM_KEYS = [
 ]
 
 
+class ChartCanvas:
+    """Minimal tk.Canvas renderer for a ChartModel (line chart, autoscale)."""
+
+    def __init__(self, parent, model: ChartModel, theme=THEME,
+                 width=560, height=170):
+        import tkinter as tk
+
+        self.model = model
+        self.theme = theme
+        self.canvas = tk.Canvas(parent, width=width, height=height,
+                                bg=theme.canvas, highlightthickness=1,
+                                highlightbackground=theme.border)
+        self._versions: list[int] = []
+
+    def grid(self, **kw):
+        self.canvas.grid(**kw)
+
+    def redraw(self) -> None:
+        versions = [s.version for s in self.model.series]
+        if versions == self._versions:
+            return
+        self._versions = versions
+        c = self.canvas
+        c.delete("all")
+        w = int(c.winfo_width()) or int(c["width"])
+        h = int(c.winfo_height()) or int(c["height"])
+        pad_l, pad_r, pad_t, pad_b = 46, 8, 18, 16
+        x_lo, x_hi = self.model.data_range()
+        ys = [y for s in self.model.series if s.visible
+              for _, y in s.visible_slice(x_lo, x_hi)]
+        if not ys:
+            c.create_text(w // 2, h // 2, text=self.model.title,
+                          fill=self.theme.text_muted)
+            return
+        y_lo, y_hi = min(ys), max(ys)
+        if y_hi <= y_lo:
+            y_hi = y_lo + 1e-9
+        span_x, span_y = x_hi - x_lo, y_hi - y_lo
+
+        def px(x):
+            return pad_l + (x - x_lo) / span_x * (w - pad_l - pad_r)
+
+        def py(y):
+            return h - pad_b - (y - y_lo) / span_y * (h - pad_t - pad_b)
+
+        for frac in (0.0, 0.5, 1.0):  # horizontal grid + y labels
+            y = y_lo + frac * span_y
+            c.create_line(pad_l, py(y), w - pad_r, py(y),
+                          fill=self.theme.border)
+            c.create_text(pad_l - 4, py(y), text=f"{y:.3g}", anchor="e",
+                          fill=self.theme.text_muted, font=("TkDefaultFont", 7))
+        c.create_text(pad_l, 8, text=self.model.title, anchor="w",
+                      fill=self.theme.accent, font=("TkDefaultFont", 8, "bold"))
+        for s in self.model.series:
+            if not s.visible or len(s.data) < 2:
+                continue
+            pts = sample(s.visible_slice(x_lo, x_hi), 400)
+            coords = []
+            for x, y in pts:
+                coords.extend((px(x), py(y)))
+            dash = () if s.line_style == "solid" else (4, 3)
+            c.create_line(*coords, fill=s.color, width=s.linewidth, dash=dash)
+
+
 class TrainingApp:
     def __init__(self, root, preset_path: str | None = None):
         import tkinter as tk
@@ -37,7 +109,14 @@ class TrainingApp:
 
         self.root = root
         root.title("Aozora-TPU Trainer")
-        self.preset_path = Path(preset_path) if preset_path else Path("preset.json")
+        self.state = GuiState(str(Path("configs")))
+        self.theme = self.state.theme()
+        root.configure(bg=self.theme.window)
+        apply_to_ttk(ttk.Style(root), self.theme)
+
+        if preset_path is None:
+            preset_path = self.state.last_config or "preset.json"
+        self.preset_path = Path(preset_path)
         self.flat = schema.flat_defaults()
         if self.preset_path.exists():
             with open(self.preset_path, encoding="utf-8") as f:
@@ -45,6 +124,7 @@ class TrainingApp:
         self.metrics = LiveMetrics()
         self.log = CompressedLogBuffer()
         self.runner: ProcessRunner | None = None
+        self.datasets = DatasetManager(self.flat.get("INSTANCE_DATASETS"))
 
         top = ttk.Frame(root, padding=6)
         top.pack(fill="both", expand=True)
@@ -63,24 +143,73 @@ class TrainingApp:
                 row=i, column=1, sticky="we")
             self.entries[key] = var
 
+        # dataset summary (counts via the headless manager)
+        self.dataset_var = tk.StringVar(value=self._dataset_summary())
+        ttk.Label(top, textvariable=self.dataset_var,
+                  style="Muted.TLabel").grid(
+            row=len(FORM_KEYS) + 1, column=0, columnspan=2, sticky="w")
+
+        # curve presets (edit the same preset keys the Qt editors write)
+        curves = ttk.Frame(top)
+        curves.grid(row=len(FORM_KEYS) + 2, column=0, columnspan=2, sticky="w")
+        ttk.Label(curves, text="LR curve:").pack(side="left")
+        self.lr_preset_var = tk.StringVar(value="Cosine")
+        ttk.Combobox(curves, textvariable=self.lr_preset_var, width=9,
+                     values=["Constant", "Linear", "Cosine"],
+                     state="readonly").pack(side="left", padx=2)
+        ttk.Button(curves, text="Apply",
+                   command=self.apply_lr_preset).pack(side="left", padx=2)
+        ttk.Label(curves, text="  Timesteps:").pack(side="left")
+        self.ts_preset_var = tk.StringVar(value="Uniform")
+        ttk.Combobox(curves, textvariable=self.ts_preset_var, width=20,
+                     values=["Uniform", "Wave", "Logit-Normal", "Beta",
+                             "Odds-Scaled (Z-Image)"],
+                     state="readonly").pack(side="left", padx=2)
+        ttk.Button(curves, text="Apply",
+                   command=self.apply_timestep_preset).pack(side="left", padx=2)
+        ttk.Button(curves, text="Bell loss wt",
+                   command=self.apply_bell_loss_weight).pack(side="left", padx=2)
+
         # buttons
         btns = ttk.Frame(top)
-        btns.grid(row=len(FORM_KEYS) + 1, column=0, columnspan=2, pady=4)
+        btns.grid(row=len(FORM_KEYS) + 3, column=0, columnspan=2, pady=4)
         ttk.Button(btns, text="Save Preset", command=self.save_preset).pack(
             side="left", padx=2)
-        self.start_btn = ttk.Button(btns, text="Train", command=self.start_training)
+        self.start_btn = ttk.Button(btns, text="Train", style="Accent.TButton",
+                                    command=self.start_training)
         self.start_btn.pack(side="left", padx=2)
-        ttk.Button(btns, text="Stop", command=self.stop_training).pack(
-            side="left", padx=2)
+        ttk.Button(btns, text="Stop", style="Danger.TButton",
+                   command=self.stop_training).pack(side="left", padx=2)
         ttk.Button(btns, text="Force Save",
                    command=self.force_save).pack(side="left", padx=2)
+        ttk.Button(btns, text="Clear Caches",
+                   command=self.clear_caches).pack(side="left", padx=2)
 
         self.status_var = tk.StringVar(value="idle")
         ttk.Label(top, textvariable=self.status_var).grid(
-            row=len(FORM_KEYS) + 2, column=0, columnspan=2, sticky="w")
+            row=len(FORM_KEYS) + 4, column=0, columnspan=2, sticky="w")
 
-        self.console = tk.Text(top, height=18, width=90, state="disabled")
-        self.console.grid(row=len(FORM_KEYS) + 3, column=0, columnspan=2,
+        # live charts fed from LiveMetrics series
+        self.loss_chart = ChartModel("Loss", "loss")
+        self.loss_chart.add_line("step loss", self.theme.accent, linewidth=1)
+        self.loss_chart.add_line("ema", self.theme.success, linewidth=2)
+        self.lr_chart = ChartModel("LR / Grad Norm", "lr")
+        self.lr_chart.add_line("lr", self.theme.warning)
+        self.lr_chart.add_line("grad (clipped)", self.theme.danger,
+                               line_style="dash", linewidth=1)
+        self.loss_canvas = ChartCanvas(top, self.loss_chart, self.theme)
+        self.loss_canvas.grid(row=len(FORM_KEYS) + 5, column=0, columnspan=2,
+                              sticky="we", pady=2)
+        self.lr_canvas = ChartCanvas(top, self.lr_chart, self.theme)
+        self.lr_canvas.grid(row=len(FORM_KEYS) + 6, column=0, columnspan=2,
+                            sticky="we", pady=2)
+        self._chart_fed = [0, 0, 0, 0]
+
+        self.console = tk.Text(top, height=12, width=90, state="disabled",
+                               bg=self.theme.deeply_nested,
+                               fg=self.theme.text,
+                               insertbackground=self.theme.text)
+        self.console.grid(row=len(FORM_KEYS) + 7, column=0, columnspan=2,
                           sticky="nsew")
         root.after(200, self._refresh)
 
@@ -111,8 +240,57 @@ class TrainingApp:
         preset = schema.nest_flat_config(flat)
         with open(self.preset_path, "w", encoding="utf-8") as f:
             json.dump(preset, f, indent=1)
+        self.state.save(last_config=str(self.preset_path))
         self._log_line(f"[gui] preset saved -> {self.preset_path}")
         return self.preset_path
+
+    # -- curve presets (same keys the reference's Qt editors write) ---------
+    def apply_lr_preset(self):
+        from .curve_models import LRCurveModel
+
+        min_lr = float(self.flat.get("LR_GRAPH_MIN", 0.0)) or 1e-9
+        max_lr = float(self.flat.get("LR_GRAPH_MAX", 1e-6))
+        model = LRCurveModel(min_lr=min_lr, max_lr=max_lr)
+        model.set_standard_preset(self.lr_preset_var.get())
+        self.flat["LR_CUSTOM_CURVE"] = model.get_points()
+        self._log_line(f"[gui] LR curve preset -> {self.lr_preset_var.get()}")
+
+    def apply_timestep_preset(self):
+        from .curve_models import TimestepHistogramModel
+
+        try:
+            steps = int(float(self.entries["MAX_TRAIN_STEPS"].get()))
+        except (KeyError, ValueError):
+            steps = int(self.flat.get("MAX_TRAIN_STEPS", 1000))
+        alloc = self.flat.get("TIMESTEP_ALLOCATION") or {}
+        model = TimestepHistogramModel(
+            bin_size=int(alloc.get("bin_size", 100)) or 100,
+            max_tickets=max(steps, 1))
+        mode = self.ts_preset_var.get()
+        if mode != "Uniform":
+            model.apply_distribution(mode)
+        self.flat["TIMESTEP_ALLOCATION"] = model.get_allocation()
+        self._log_line(f"[gui] timestep allocation -> {mode} "
+                       f"({sum(model.counts)} tickets)")
+
+    def apply_bell_loss_weight(self):
+        from .curve_models import LossWeightCurveModel
+
+        model = LossWeightCurveModel()
+        model.apply_bell_preset()
+        self.flat["TIMESTEP_LOSS_WEIGHT_CURVE"] = model.get_points()
+        self._log_line("[gui] timestep loss-weight curve -> bell preset")
+
+    def _dataset_summary(self) -> str:
+        n = len(self.datasets.datasets)
+        return (f"Datasets: {n} | images with repeats: "
+                f"{self.datasets.total_with_repeats()}")
+
+    def clear_caches(self):
+        cfg = self.collect_flat()
+        for i in range(len(self.datasets.datasets)):
+            for path in self.datasets.clear_cache(i, cfg):
+                self._log_line(f"[gui] cleared cache {path}")
 
     # -- training -----------------------------------------------------------
     def start_training(self):
@@ -124,6 +302,9 @@ class TrainingApp:
                   else "train.py")
         script_path = Path(__file__).resolve().parents[2] / script
         self.metrics = LiveMetrics()
+        self.loss_chart.clear()
+        self.lr_chart.clear()
+        self._chart_fed = [0, 0, 0, 0]
         self.runner = launch_trainer(
             script_path, preset, cwd=Path.cwd(),
             on_line=self._on_line, on_progress=self._on_progress,
@@ -150,11 +331,26 @@ class TrainingApp:
     def _log_line(self, line: str):
         self.log.append(line)
 
+    def _feed_charts(self):
+        """Move newly-parsed metric points into the chart models."""
+        feeds = [(self.metrics.step_loss, self.loss_chart, 0),
+                 (self.metrics.loss_ema, self.loss_chart, 1),
+                 (self.metrics.lr, self.lr_chart, 0),
+                 (self.metrics.grad_clipped, self.lr_chart, 1)]
+        for slot, (series, chart, line) in enumerate(feeds):
+            n = len(series.xs)
+            for i in range(self._chart_fed[slot], n):
+                chart.append(line, series.xs[i], series.ys[i])
+            self._chart_fed[slot] = n
+
     def _refresh(self):
         status = self.metrics.status_line() or "idle"
         if self.metrics.failures:
             status += f"  [{len(self.metrics.failures)} failure flags]"
         self.status_var.set(status)
+        self._feed_charts()
+        self.loss_canvas.redraw()
+        self.lr_canvas.redraw()
         self.console.configure(state="normal")
         self.console.delete("1.0", "end")
         self.console.insert("1.0", "\n".join(self.log.tail(200)))
@@ -169,7 +365,13 @@ def main(argv=None) -> None:
         import tkinter as tk
     except Exception as e:  # noqa: BLE001
         raise SystemExit(f"tkinter unavailable: {e}")
-    root = tk.Tk()
+    try:
+        root = tk.Tk()
+    except tk.TclError as e:
+        raise SystemExit(
+            f"cannot open display ({e}); the GUI needs an X server — "
+            "on headless machines run the CLI instead: "
+            "python -m aozora_sdxl_training_tpu.cli.train_sdxl --config ...")
     TrainingApp(root, argv[0] if argv else None)
     root.mainloop()
 

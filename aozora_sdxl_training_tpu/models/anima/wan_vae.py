@@ -352,6 +352,18 @@ def params_from_torch_state(state: dict, cfg: WanVaeConfig = WAN_VAE,
     return params
 
 
+def detect_config(params: Params) -> WanVaeConfig:
+    """Infer base width / z-dim from converted (image-mode) params.
+
+    Mirrors qwen3.detect_config / the DiT shape detection so a
+    non-standard-width VAE (or a tiny test model) encodes with the right
+    latent normalization slice instead of WAN_VAE's.
+    """
+    dim = int(params["encoder.conv1.bias"].shape[0])
+    z_dim = int(params["conv1.bias"].shape[0]) // 2
+    return WanVaeConfig(dim=dim, z_dim=z_dim)
+
+
 def param_shapes(cfg: WanVaeConfig) -> dict[str, tuple[int, ...]]:
     """Image-mode (HWIO) parameter shapes, for init/tests."""
     shapes: dict[str, tuple[int, ...]] = {

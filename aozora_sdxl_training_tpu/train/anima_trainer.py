@@ -343,11 +343,20 @@ def _dit_config_for_state(state: dict) -> dit_mod.AnimaDiTConfig:
     an = 0
     while f"llm_adapter.blocks.{an}.cross_attn.q_proj.weight" in state:
         an += 1
-    ahd = adapter_tgt // max(1, int(
-        state["llm_adapter.blocks.0.self_attn.q_norm.weight"].shape[0]))
+    # latent channels from the patchify/unpatchify projections: torch
+    # x_embedder.proj.1.weight is (d, (in+mask)*pt*ps^2) and
+    # final_layer.linear.weight is (ps^2*pt*out, d).  Lets DiTs trained
+    # against non-16-channel VAEs (and tiny test models) load without a
+    # sidecar.
+    base = dit_mod.ANIMA_BASE
+    patch_elems = base.patch_temporal * base.patch_spatial ** 2
+    in_ch = (int(state["x_embedder.proj.1.weight"].shape[1]) // patch_elems
+             - (1 if base.concat_padding_mask else 0))
+    out_ch = int(state["final_layer.linear.weight"].shape[0]) // patch_elems
     return replace(
-        dit_mod.ANIMA_BASE, model_channels=d, num_blocks=n,
+        base, model_channels=d, num_blocks=n,
         num_heads=d // hd, adaln_lora_dim=lora, crossattn_emb_channels=ctx,
+        in_channels=in_ch, out_channels=out_ch,
         adapter_source_dim=adapter_src, adapter_target_dim=adapter_tgt,
         adapter_layers=an, adapter_vocab=vocab,
         adapter_heads=adapter_tgt // int(

@@ -125,11 +125,15 @@ def main() -> None:
     # secondary metric: fused optimizer-step time on an attention-only
     # trainable subset (reference: ~15 s CPU-offloaded, readme.md:14)
     try:
+        del grad_fn, args, latents, noise, embeds, pooled
+        jax.clear_caches()  # release the micro-step executable's buffers
         from aozora_sdxl_training_tpu.opt import adamw
-        from aozora_sdxl_training_tpu.train.train_step import split_trainable
-        trainable, _ = split_trainable(
-            params, ["conv1", "conv2", "norm", "conv_in", "conv_out",
-                     "ff", "proj", "time_emb", "embedding"])
+        # self-attention queries only (~100M): the fp32 optimizer working
+        # set is ~6 copies of the subset, and the 5 GB bf16 param dict is
+        # freed below so the whole section fits beside nothing
+        trainable = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()
+                     if ".attn1.to_q." in k}
+        del params
         opt_cfg = adamw.AdamWConfig()
         state = adamw.init_state(trainable, opt_cfg)
 

@@ -233,3 +233,28 @@ def test_tiled_encode_blends_overlaps(tiny_vae):
                                        tile_size=(12, 12), tile_stride=(8, 8))
     assert tiled.shape == (1, 16, 16, cfg.z_dim)
     assert np.isfinite(tiled).all()
+
+
+def test_wan_vae_detect_config(tiny_vae):
+    cfg, params = tiny_vae
+    det = wan_vae.detect_config(params)
+    assert det.dim == cfg.dim
+    assert det.z_dim == cfg.z_dim
+    # default-size params detect back to WAN_VAE
+    base = wan_vae.WAN_VAE
+    fake = {"encoder.conv1.bias": np.zeros(base.dims[0]),
+            "conv1.bias": np.zeros(2 * base.z_dim)}
+    det2 = wan_vae.detect_config(fake)
+    assert (det2.dim, det2.z_dim) == (base.dim, base.z_dim)
+
+
+def test_wan_vae_encode_uses_detected_z_dim(tiny_vae):
+    """Regression: a non-16-z VAE must normalize with its own z slice
+    (caught by the Anima CLI verify drive: encode with the default WAN_VAE
+    cfg broadcast (.., 2z) against 16 stats and crashed)."""
+    cfg, params = tiny_vae
+    det = wan_vae.detect_config(params)
+    px = jax.random.normal(jax.random.PRNGKey(9), (1, 32, 32, 3)) * 0.5
+    lat = wan_vae.encode_image(params, px, cfg=det)
+    assert lat.shape == (1, 4, 4, cfg.z_dim)
+    assert bool(jnp.isfinite(lat).all())

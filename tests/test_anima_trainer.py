@@ -153,3 +153,25 @@ def test_anima_saved_model_reloads(anima_e2e):
                          np.asarray(params[k], np.float32)) else 1
         for k in params)
     assert changed > len(params) * 0.5
+
+
+def test_dit_config_detects_latent_channels():
+    """Regression: in/out channels must come from the patchify/unpatchify
+    shapes, not ANIMA_BASE — a DiT trained against a non-16-z VAE failed to
+    load (caught by the Anima CLI verify drive)."""
+    from dataclasses import replace
+
+    from aozora_sdxl_training_tpu.train.anima_trainer import _dit_config_for_state
+
+    cfg = replace(dit_mod.TINY_ANIMA, in_channels=4, out_channels=4,
+                  adapter_source_dim=64)
+    params = dit_mod.init_params(cfg, jax.random.PRNGKey(7))
+    state = {k: np.asarray(v) for k, v in
+             dit_mod.params_to_torch_state(params).items()}
+    det = _dit_config_for_state(state)
+    assert det.in_channels == 4
+    assert det.out_channels == 4
+    assert det.adapter_source_dim == 64
+    # and the detected config round-trips the checkpoint
+    reloaded = dit_mod.params_from_torch_state(state, det)
+    assert set(reloaded) == set(params)
