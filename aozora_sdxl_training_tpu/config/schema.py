@@ -105,6 +105,9 @@ def _fields() -> list[Field]:
         Field("MIXED_PRECISION", "bfloat16", SHARED),
         Field("CLIP_GRAD_NORM", 1.0, SHARED),
         Field("SEED", 42, SHARED),
+        # TPU extension (no reference equivalent): Megatron-style tensor
+        # parallelism over the mesh's tp axis; 1 = dp/FSDP only.
+        Field("TENSOR_PARALLEL_SIZE", 1, SHARED),
         Field("ANIMA_GRADIENT_CHECKPOINTING_MODE", "Full", ANIMA_ONLY),
         # --- Saving ---
         Field("SAVE_EVERY_N_STEPS", 1000, SHARED),

@@ -6,6 +6,9 @@ wholesale with a `jax.sharding.Mesh` and GSPMD:
 
 * ``dp`` axis — data parallelism over the batch; gradients are combined by
   XLA-inserted all-reduces over ICI.
+* ``tp`` axis (optional, Megatron-style) — attention and GEGLU weights are
+  head/column-sharded, their second projections row-sharded; GSPMD
+  propagates the activation shardings and inserts the per-layer psums.
 * parameters: either replicated or FSDP-style sharded on their largest
   axis over ``dp`` (ZeRO-3); optimizer moments always follow the same spec
   as their parameter (ZeRO-1+), eliminating the reference's CPU-offload
@@ -24,12 +27,52 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(devices=None, *, dp: int | None = None) -> Mesh:
+def make_mesh(devices=None, *, dp: int | None = None, tp: int = 1) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    dp = dp or len(devices)
-    if len(devices) % dp:
-        raise ValueError(f"{len(devices)} devices not divisible by dp={dp}")
-    return Mesh(np.asarray(devices[:dp]).reshape(dp), ("dp",))
+    tp = max(1, int(tp))
+    dp = dp or len(devices) // tp
+    if dp * tp > len(devices) or len(devices) % (dp * tp):
+        raise ValueError(f"{len(devices)} devices not divisible by "
+                         f"dp={dp} x tp={tp}")
+    if tp == 1:
+        return Mesh(np.asarray(devices[:dp]).reshape(dp), ("dp",))
+    return Mesh(np.asarray(devices[: dp * tp]).reshape(dp, tp), ("dp", "tp"))
+
+
+# Megatron-style rules keyed on parameter-name suffixes: column-parallel
+# layers shard output features (attention heads / GEGLU columns),
+# row-parallel layers shard input features so GSPMD closes each pair with
+# one psum on the layer output.
+_TP_COLUMN_SUFFIXES = (
+    # SDXL UNet transformer blocks
+    ".to_q.weight", ".to_k.weight", ".to_v.weight", ".ff.net.0.proj.weight",
+    # Anima DiT blocks + LLM adapter ((in, out) layout throughout)
+    ".q_proj.weight", ".k_proj.weight", ".v_proj.weight",
+    ".mlp.layer1.weight", ".mlp.0.weight",
+)
+_TP_COLUMN_BIAS_SUFFIXES = (".to_q.bias", ".to_k.bias", ".to_v.bias",
+                            ".ff.net.0.proj.bias",
+                            ".q_proj.bias", ".k_proj.bias", ".v_proj.bias",
+                            ".mlp.0.bias")
+_TP_ROW_SUFFIXES = (".to_out.0.weight", ".ff.net.2.weight",
+                    ".output_proj.weight", ".o_proj.weight",
+                    ".mlp.layer2.weight", ".mlp.2.weight")
+
+
+def tp_param_spec(name: str, shape: tuple[int, ...], tp_size: int) -> P | None:
+    """TP spec for one named parameter, or None if the TP rules don't apply."""
+    if tp_size <= 1:
+        return None
+    if name.endswith(_TP_COLUMN_SUFFIXES) and len(shape) == 2 \
+            and shape[1] % tp_size == 0:
+        return P(None, "tp")
+    if name.endswith(_TP_COLUMN_BIAS_SUFFIXES) and len(shape) == 1 \
+            and shape[0] % tp_size == 0:
+        return P("tp")
+    if name.endswith(_TP_ROW_SUFFIXES) and len(shape) == 2 \
+            and shape[0] % tp_size == 0:
+        return P("tp", None)
+    return None
 
 
 def param_partition_spec(shape: tuple[int, ...], mesh_size: int,
@@ -60,26 +103,59 @@ def param_partition_spec(shape: tuple[int, ...], mesh_size: int,
 
 def params_shardings(params, mesh: Mesh, mode: str = "fsdp",
                      min_shard_elements: int = 2 ** 16):
-    """Tree of NamedShardings matching the (flat-dict) param tree."""
-    size = mesh.devices.size
+    """Tree of NamedShardings matching the (flat-dict) param tree.
 
-    def one(p):
-        return NamedSharding(mesh, param_partition_spec(
-            tuple(p.shape), size, mode, min_shard_elements))
+    With a ``tp`` axis in the mesh, attention/GEGLU weights follow the
+    Megatron rules (name-keyed) and everything else falls back to the
+    dp-axis FSDP rule.
+    """
+    dp_size = int(mesh.shape.get("dp", mesh.devices.size))
+    tp_size = int(mesh.shape.get("tp", 1))
 
-    return jax.tree.map(one, params)
+    def one(name, p):
+        if isinstance(p, tuple):  # int8 moment leaves: (codes, scales)
+            return tuple(one(name, e) for e in p)
+        spec = tp_param_spec(name, tuple(p.shape), tp_size)
+        if spec is None:
+            spec = param_partition_spec(tuple(p.shape), dp_size, mode,
+                                        min_shard_elements)
+        return NamedSharding(mesh, spec)
+
+    if isinstance(params, dict):
+        return {k: one(k, v) for k, v in params.items()}
+    return jax.tree.map(lambda p: one("", p), params)
 
 
 def opt_state_shardings(opt_state, mesh: Mesh, mode: str = "fsdp"):
     """Moments follow their parameter's spec; the step counter is replicated."""
-    size = mesh.devices.size
+    dp_size = int(mesh.shape.get("dp", mesh.devices.size))
+    tp_size = int(mesh.shape.get("tp", 1))
 
-    def one(x):
+    def one_named(name, x):
         if getattr(x, "ndim", 0) == 0:
             return NamedSharding(mesh, P())
-        return NamedSharding(mesh, param_partition_spec(tuple(x.shape), size, mode))
+        spec = tp_param_spec(name, tuple(x.shape), tp_size)
+        if spec is None:
+            spec = param_partition_spec(tuple(x.shape), dp_size, mode)
+        return NamedSharding(mesh, spec)
 
-    return jax.tree.map(one, opt_state)
+    def map_container(cont):
+        # moment containers are flat name->tensor dicts (tuple leaves for
+        # int8-quantized moments: (codes, scales))
+        if isinstance(cont, dict):
+            return {k: (tuple(one_named(k, e) for e in v)
+                        if isinstance(v, tuple) else one_named(k, v))
+                    for k, v in cont.items()}
+        return jax.tree.map(lambda x: one_named("", x), cont)
+
+    if isinstance(opt_state, tuple) and hasattr(opt_state, "_fields"):
+        return type(opt_state)(*(map_container(f) if isinstance(f, dict)
+                                 else jax.tree.map(
+                                     lambda x: one_named("", x), f)
+                                 for f in opt_state))
+    if isinstance(opt_state, dict):
+        return map_container(opt_state)
+    return jax.tree.map(lambda x: one_named("", x), opt_state)
 
 
 def batch_shardings(batch_tree, mesh: Mesh):

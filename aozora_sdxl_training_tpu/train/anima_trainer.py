@@ -182,18 +182,18 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
     # mesh: dp batch sharding + FSDP/ZeRO params and optimizer state
     from ..parallel import sharding as shard
     devices = jax.devices()
-    use_mesh = len(devices) > 1 and config.BATCH_SIZE % len(devices) == 0
+    tp = max(1, int(getattr(config, "TENSOR_PARALLEL_SIZE", 1) or 1))
+    dp = max(1, len(devices) // tp)
+    use_mesh = (len(devices) > 1 and len(devices) % tp == 0
+                and config.BATCH_SIZE % dp == 0)
     mesh_shardings = None
     if use_mesh:
-        mesh = shard.make_mesh(devices)
+        mesh = shard.make_mesh(devices, dp=dp, tp=tp)
         mesh_shardings = {
             "trainable": shard.params_shardings(trainable, mesh),
             "frozen": shard.params_shardings(frozen, mesh),
             "grad_accum": shard.params_shardings(trainable, mesh),
-            "opt_state": adamw.AdamWState(
-                step=shard.replicated(mesh),
-                exp_avg=shard.params_shardings(opt_state.exp_avg, mesh),
-                exp_avg_sq=shard.params_shardings(opt_state.exp_avg_sq, mesh)),
+            "opt_state": shard.opt_state_shardings(opt_state, mesh),
             "batch": jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec("dp")),
             "replicated": shard.replicated(mesh),

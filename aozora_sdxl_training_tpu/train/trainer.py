@@ -254,10 +254,13 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
         remat=True)
 
     devices = jax.devices()
-    use_mesh = len(devices) > 1 and config.BATCH_SIZE % len(devices) == 0
+    tp = max(1, int(getattr(config, "TENSOR_PARALLEL_SIZE", 1) or 1))
+    dp = max(1, len(devices) // tp)
+    use_mesh = (len(devices) > 1 and len(devices) % tp == 0
+                and config.BATCH_SIZE % dp == 0)
     shardings = None
     if use_mesh:
-        mesh = shard.make_mesh(devices)
+        mesh = shard.make_mesh(devices, dp=dp, tp=tp)
         shardings = {
             "trainable": shard.params_shardings(trainable, mesh),
             "frozen": shard.params_shardings(frozen, mesh),
@@ -280,10 +283,7 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
             print("WARNING: Resume optimizer state does not match trainable set; "
                   "starting moments fresh.")
     if shardings is not None:
-        shardings["opt_state"] = adamw.AdamWState(
-            step=shard.replicated(mesh),
-            exp_avg=shard.params_shardings(opt_state.exp_avg, mesh),
-            exp_avg_sq=shard.params_shardings(opt_state.exp_avg_sq, mesh))
+        shardings["opt_state"] = shard.opt_state_shardings(opt_state, mesh)
         trainable = shard.put_tree(trainable, shardings["trainable"])
         frozen = shard.put_tree(frozen, shardings["frozen"])
         opt_state = shard.put_tree(opt_state, shardings["opt_state"])

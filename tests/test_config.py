@@ -17,7 +17,8 @@ def test_flat_defaults_complete():
     assert flat["RAVEN_PARAMS"]["debias_strength"] == 0.3
     assert flat["TIMESTEP_ALLOCATION"] == {"bin_size": 100, "counts": []}
     assert flat["MAX_BUCKET_RESOLUTION"] == 1024
-    assert len(schema.FLAT_KEYS) == 79
+    # 79 reference keys + TENSOR_PARALLEL_SIZE (TPU extension)
+    assert len(schema.FLAT_KEYS) == 80
 
 
 def test_defaults_are_deep_copied():

@@ -113,3 +113,89 @@ def test_sharded_training_matches_single_device():
     big_key = max(trainable, key=lambda k: trainable[k].size)
     sh = s8.exp_avg[big_key].sharding
     assert sh.spec != P()
+
+
+def test_tp_param_spec_rules():
+    assert shard.tp_param_spec("a.attn1.to_q.weight", (64, 64), 4) == P(None, "tp")
+    assert shard.tp_param_spec("a.attn1.to_out.0.weight", (64, 64), 4) == P("tp", None)
+    assert shard.tp_param_spec("a.ff.net.0.proj.weight", (64, 512), 4) == P(None, "tp")
+    assert shard.tp_param_spec("a.ff.net.0.proj.bias", (512,), 4) == P("tp")
+    assert shard.tp_param_spec("a.ff.net.2.weight", (256, 64), 4) == P("tp", None)
+    assert shard.tp_param_spec("a.ff.net.2.bias", (64,), 4) is None
+    assert shard.tp_param_spec("conv_in.weight", (3, 3, 4, 32), 4) is None
+    assert shard.tp_param_spec("a.to_q.weight", (64, 64), 1) is None
+    # non-divisible head dim falls back
+    assert shard.tp_param_spec("a.to_q.weight", (63, 63), 4) is None
+
+
+@requires_8
+def test_dp_tp_mesh_training_matches_single_device():
+    """dp=2 x tp=4 Megatron-sharded attention/GEGLU must match the
+    single-device step bit-for-bit at fp32 tolerance."""
+    cfg = TrainStepConfig(unet=TINY, prediction_type="v_prediction",
+                          grad_accum_steps=1, clip_grad_norm=1.0,
+                          attn_impl="xla", compute_dtype=jnp.float32,
+                          remat=False)
+    opt_cfg = adamw.AdamWConfig(momentum_dtype=jnp.float32)
+    params = init_params(TINY, jax.random.PRNGKey(0))
+    trainable, frozen = split_trainable(params, ["conv1", "conv2"])
+
+    b = 2
+    rng = np.random.default_rng(1)
+    loss_weights = jnp.ones(1000, jnp.float32)
+    common = (jnp.asarray(rng.normal(size=(b, 8, 8, 4)).astype(np.float32)),
+              jnp.asarray(rng.normal(
+                  size=(b, 7, TINY.cross_attention_dim)).astype(np.float32)),
+              jnp.asarray(rng.normal(
+                  size=(b, TINY.pooled_projection_dim)).astype(np.float32)),
+              jnp.ones((b, 6), jnp.float32),
+              jnp.asarray(rng.integers(0, 1000, b), jnp.int32),
+              loss_weights,
+              jnp.asarray(42, jnp.int32), jnp.asarray(1, jnp.int32),
+              jnp.asarray(0.0, jnp.float32))
+
+    def fresh_copy(tree):
+        return jax.tree.map(lambda x: jnp.array(x, copy=True), tree)
+
+    micro1, apply1 = jit_train_functions(cfg, opt_cfg)
+    g1 = zero_grad_accum(trainable)
+    t1 = fresh_copy(trainable)
+    loss1, _, g1 = micro1(t1, frozen, g1, *common)
+    p1, s1, n1 = apply1(t1, g1, adamw.init_state(fresh_copy(trainable), opt_cfg),
+                        jnp.asarray(1e-4, jnp.float32))
+
+    mesh = shard.make_mesh(jax.devices(), dp=2, tp=4)
+    assert mesh.axis_names == ("dp", "tp")
+    min_el = 1024
+    opt_state = adamw.init_state(trainable, opt_cfg)
+    shardings = {
+        "trainable": shard.params_shardings(trainable, mesh, min_shard_elements=min_el),
+        "frozen": shard.params_shardings(frozen, mesh, min_shard_elements=min_el),
+        "grad_accum": shard.params_shardings(trainable, mesh, min_shard_elements=min_el),
+        "opt_state": shard.opt_state_shardings(opt_state, mesh),
+        "batch": jax.sharding.NamedSharding(mesh, P("dp")),
+        "replicated": shard.replicated(mesh),
+    }
+    # the TP rules actually hit attention weights
+    tp_specs = [s.spec for k, s in shardings["trainable"].items()
+                if ".to_q.weight" in k]
+    assert tp_specs and all(spec == P(None, "tp") for spec in tp_specs)
+
+    micro8, apply8 = jit_train_functions(cfg, opt_cfg, shardings=shardings)
+    t8 = shard.put_tree(fresh_copy(trainable), shardings["trainable"])
+    f8 = shard.put_tree(frozen, shardings["frozen"])
+    o8 = shard.put_tree(opt_state, shardings["opt_state"])
+    g8 = shard.put_tree(zero_grad_accum(trainable), shardings["grad_accum"])
+    loss8, _, g8 = micro8(t8, f8, g8, *common)
+    p8, s8, n8 = apply8(t8, g8, o8, jnp.asarray(1e-4, jnp.float32))
+
+    assert float(loss1) == pytest.approx(float(loss8), rel=1e-5)
+    assert float(n1) == pytest.approx(float(n8), rel=1e-4)
+    for key in ("mid_block.attentions.0.proj_in.weight",
+                "mid_block.attentions.0.transformer_blocks.0.attn1.to_q.weight"):
+        # reduction order differs across the 2x4 mesh; allow float noise
+        np.testing.assert_allclose(np.asarray(p1[key]), np.asarray(p8[key]),
+                                   rtol=1e-4, atol=1e-5, err_msg=key)
+    # moments of TP'd weights follow the TP spec
+    qkey = next(k for k in trainable if k.endswith("attn1.to_q.weight"))
+    assert s8.exp_avg[qkey].sharding.spec == P(None, "tp")
