@@ -190,10 +190,43 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
 # Full forward
 # --------------------------------------------------------------------------
 
+def _dot_general_out_shape(lhs, rhs, dimension_numbers):
+    (lc, rc), (lb, rb) = dimension_numbers
+    batch = [lhs.shape[i] for i in lb]
+    lfree = [lhs.shape[i] for i in range(len(lhs.shape))
+             if i not in lc and i not in lb]
+    rfree = [rhs.shape[i] for i in range(len(rhs.shape))
+             if i not in rc and i not in rb]
+    return tuple(batch + lfree + rfree)
+
+
+def dots_except_attention_logits(prim, *args, **params):
+    """Remat policy: save every MXU output EXCEPT large square (seq x seq)
+    dot outputs — the attention logit matrices.
+
+    Plain ``checkpoint_dots`` keeps the O(S^2) logits resident, which is
+    what pushes full-SDXL-at-1024px out of 16 GB (measured: 440 MB over);
+    everything else it saves is O(S*d) and cheap.  Refusing just the big
+    square dots keeps the recompute limited to softmax+logits while the
+    conv/projection outputs stay saved.
+    """
+    if prim is not jax.lax.dot_general_p:
+        return jax.checkpoint_policies.dots_saveable(prim, *args, **params)
+    lhs, rhs = args[:2]
+    try:
+        shape = _dot_general_out_shape(lhs, rhs, params["dimension_numbers"])
+    except Exception:  # noqa: BLE001 — unknown aval layout: fall back to save
+        return True
+    big_square = (len(shape) >= 2 and shape[-1] == shape[-2]
+                  and shape[-1] * shape[-2] >= (1 << 20))
+    return not big_square
+
+
 def _maybe_remat(fn: Callable, mode) -> Callable:
     """mode: False/None = no remat; True/'full' = recompute everything;
     'dots' = save MXU outputs (jax.checkpoint_policies.checkpoint_dots) —
-    less recompute at higher HBM cost."""
+    less recompute at higher HBM cost; 'dots_no_logits' = dots minus the
+    O(S^2) attention logits (fits full SDXL at 1024px where 'dots' OOMs)."""
     if not mode:
         return fn
     policy = None
@@ -201,6 +234,8 @@ def _maybe_remat(fn: Callable, mode) -> Callable:
         policy = jax.checkpoint_policies.checkpoint_dots
     elif mode == "dots_no_batch":
         policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    elif mode == "dots_no_logits":
+        policy = dots_except_attention_logits
     # arg 1 is the dotted param-name prefix (a static string)
     return jax.checkpoint(fn, static_argnums=(1,), policy=policy)
 

@@ -238,6 +238,12 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
     last_optim = time.time()
     ga = config.GRADIENT_ACCUMULATION_STEPS
 
+    # SURVEY 5.1 parity with the SDXL trainer: AOZORA_PROFILE_DIR=/path
+    # captures micro-steps 3..8 as a jax.profiler trace
+    import os as _os
+    profile_dir = _os.environ.get("AOZORA_PROFILE_DIR")
+    profile_window = (3, 8)
+
     def save_checkpoint(step):
         stem = output_model_stem(config, config.DIT_PATH)
         torch_state = dit_mod.params_to_torch_state({**frozen, **trainable})
@@ -258,6 +264,8 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
         if not batch:
             continue
         micro_step += 1
+        if profile_dir and micro_step == profile_window[0]:
+            jax.profiler.start_trace(profile_dir)
         tickets = ts_sampler.sample(batch["latents"].shape[0])
         keep = 0.0 if (micro_step - 1) % ga == 0 else 1.0
         latents = batch["latents"]
@@ -271,6 +279,10 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
             jnp.asarray(micro_step, jnp.int32), jnp.asarray(keep, jnp.float32))
 
         loss_val = float(loss_dev)
+        if profile_dir and micro_step == profile_window[1]:
+            jax.profiler.stop_trace()
+            reporter.log_message(
+                f"INFO: profiler trace written to {profile_dir}")
         diag_losses.append(loss_val)
         block = None
         if micro_step % ga == 0:

@@ -172,3 +172,57 @@ def test_conversion_missing_key_raises(tiny_setup):
     sd_state.pop("model.diffusion_model.input_blocks.0.0.weight")
     with pytest.raises(ValueError, match="missing"):
         params_from_sd_state(sd_state, cfg)
+
+
+def test_remat_policy_gradients_match(tiny_setup):
+    """All remat modes are pure memory/time tradeoffs — gradients must be
+    identical. Also exercises the dots_no_logits square-dot refusal policy
+    directly at real SDXL logit shapes."""
+    from aozora_sdxl_training_tpu.models.sdxl.unet import (
+        dots_except_attention_logits,
+    )
+
+    cfg, params = tiny_setup
+    b, h, w = 1, 8, 8
+    args = (
+        jax.random.normal(jax.random.PRNGKey(4), (b, h, w, 4)),
+        jnp.array([250.0]),
+        jax.random.normal(jax.random.PRNGKey(5), (b, 7, cfg.cross_attention_dim)),
+        jax.random.normal(jax.random.PRNGKey(6), (b, cfg.pooled_projection_dim)),
+        jnp.ones((b, 6)),
+    )
+
+    def loss(params, mode):
+        out = unet_forward(params, *args, cfg=cfg, compute_dtype=jnp.float32,
+                           remat=mode)
+        return jnp.sum(out ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    for mode in (True, "dots", "dots_no_logits"):
+        g = jax.grad(lambda p: loss(p, mode))(params)
+        for key in ("conv_in.weight",
+                    "mid_block.attentions.0.transformer_blocks.0.attn1.to_q.weight"):
+            np.testing.assert_allclose(np.asarray(g[key]), np.asarray(g_ref[key]),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"{mode}:{key}")
+
+    # policy unit behavior: refuse big square dots, keep everything else
+    class _Aval:
+        def __init__(self, shape):
+            self.shape = shape
+
+    dn_attn = (((3,), (3,)), ((0, 1), (0, 1)))  # (B,H,S,D)x(B,H,S,D)->(B,H,S,S)
+    big = dots_except_attention_logits(
+        jax.lax.dot_general_p, _Aval((1, 10, 4096, 64)), _Aval((1, 10, 4096, 64)),
+        dimension_numbers=dn_attn)
+    assert big is False
+    small = dots_except_attention_logits(
+        jax.lax.dot_general_p, _Aval((1, 2, 64, 16)), _Aval((1, 2, 64, 16)),
+        dimension_numbers=dn_attn)
+    assert small is True
+    cross = dots_except_attention_logits(
+        jax.lax.dot_general_p, _Aval((1, 10, 4096, 64)), _Aval((1, 10, 77, 64)),
+        dimension_numbers=dn_attn)
+    assert cross is True
+    conv = dots_except_attention_logits(jax.lax.conv_general_dilated_p)
+    assert conv is True
