@@ -165,26 +165,53 @@ def main() -> None:
     }))
 
 
-def _backend_ready() -> bool:
-    try:
-        jax.devices()
-        return True
-    except RuntimeError as e:
-        print(f"bench: backend not ready: {e}", file=sys.stderr)
+class _Watchdog:
+    """SIGALRM guard: the tunnel has two failure modes — fast backend-init
+    errors and silent mid-run wedges (process sleeps indefinitely). Both are
+    turned into a clean re-exec retry."""
+
+    def __init__(self, seconds: int, what: str):
+        self.seconds, self.what = seconds, what
+
+    def __enter__(self):
+        import signal
+
+        def _fire(signum, frame):
+            raise TimeoutError(f"{self.what} stalled > {self.seconds}s")
+
+        signal.signal(signal.SIGALRM, _fire)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+        signal.alarm(0)
         return False
 
 
+def _retry_reexec(reason: str):
+    import os
+    attempt = int(os.environ.get("AOZORA_BENCH_ATTEMPT", "0"))
+    if attempt >= 30:
+        raise SystemExit(f"bench: giving up after 30 retries ({reason})")
+    print(f"bench: {reason}; retrying in 60s (attempt {attempt + 1}/30)",
+          file=sys.stderr)
+    time.sleep(60)
+    os.environ["AOZORA_BENCH_ATTEMPT"] = str(attempt + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    # The remote-TPU tunnel occasionally drops for a few minutes; backend
-    # init failure is cached per-process, so re-exec to retry cleanly.
-    if not _backend_ready():
-        import os
-        attempt = int(os.environ.get("AOZORA_BENCH_ATTEMPT", "0"))
-        if attempt < 10:
-            print(f"bench: retrying in 60s (attempt {attempt + 1}/10)",
-                  file=sys.stderr)
-            time.sleep(60)
-            os.environ["AOZORA_BENCH_ATTEMPT"] = str(attempt + 1)
-            os.execv(sys.executable, [sys.executable] + sys.argv)
-        raise SystemExit("bench: TPU backend unavailable after 10 retries")
-    main()
+    # The remote-TPU tunnel occasionally drops for minutes (fast init error)
+    # or wedges silently (first device op never returns); backend-init
+    # failure is cached per-process, so re-exec to retry cleanly either way.
+    try:
+        with _Watchdog(180, "backend init"):
+            jax.devices()
+    except (RuntimeError, TimeoutError) as e:
+        _retry_reexec(f"backend not ready: {e}")
+    try:
+        with _Watchdog(2400, "bench run"):  # > worst observed legit compile
+            main()
+    except TimeoutError as e:
+        _retry_reexec(str(e))
