@@ -199,3 +199,23 @@ def test_dp_tp_mesh_training_matches_single_device():
     # moments of TP'd weights follow the TP spec
     qkey = next(k for k in trainable if k.endswith("attn1.to_q.weight"))
     assert s8.exp_avg[qkey].sharding.spec == P(None, "tp")
+
+
+@requires_8
+def test_int8_opt_state_shardings_tuple_leaves():
+    """int8-quantized moments are (codes, scales) tuples; their shardings
+    must mirror the tuple structure and put_tree must place them."""
+    params = init_params(TINY, jax.random.PRNGKey(2))
+    trainable, _ = split_trainable(params, ["conv1", "conv2"])
+    opt_cfg = adamw.AdamWConfig(momentum_dtype="int8_blockwise")
+    state = adamw.init_state(trainable, opt_cfg)
+    mesh = shard.make_mesh(jax.devices(), dp=2, tp=4)
+    sh = shard.opt_state_shardings(state, mesh)
+    qkey = next(k for k in trainable if k.endswith("attn1.to_q.weight"))
+    assert isinstance(sh.exp_avg[qkey], tuple) and len(sh.exp_avg[qkey]) == 2
+    placed = shard.put_tree(state, sh)
+    leaf = placed.exp_avg[qkey]
+    assert isinstance(leaf, tuple)
+    assert leaf[0].dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(leaf[0]),
+                                  np.asarray(state.exp_avg[qkey][0]))
