@@ -343,7 +343,7 @@ def load_payload(path) -> tuple[dict, dict]:
     """
     from . import fast_io
     if fast_io.available():
-        from ..ckpt.safetensors_io import numpy_dtype_for, read_metadata
+        from ..ckpt.safetensors_io import numpy_dtype_for
         import struct as _struct
         with open(path, "rb") as f:
             (n,) = _struct.unpack("<Q", f.read(8))

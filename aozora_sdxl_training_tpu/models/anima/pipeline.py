@@ -10,7 +10,6 @@ rules), resolves both tokenizers, and provides ``preprocess_image``
 from __future__ import annotations
 
 from dataclasses import dataclass
-from pathlib import Path
 
 import numpy as np
 
