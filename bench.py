@@ -120,7 +120,8 @@ def main() -> None:
         print(f"bench: cost analysis unavailable: {e}", file=sys.stderr)
     if mfu is not None:
         print(f"bench: step={dt*1e3:.1f}ms  s/img={s_per_image:.4f}  "
-              f"MFU~{mfu:.1%}", file=sys.stderr)
+              f"img/s/chip={1.0 / s_per_image:.2f}  MFU~{mfu:.1%}",
+              file=sys.stderr)
 
     # secondary metric: fused optimizer-step time on an attention-only
     # trainable subset (reference: ~15 s CPU-offloaded, readme.md:14)
@@ -192,9 +193,9 @@ class _Watchdog:
 def _retry_reexec(reason: str):
     import os
     attempt = int(os.environ.get("AOZORA_BENCH_ATTEMPT", "0"))
-    if attempt >= 30:
-        raise SystemExit(f"bench: giving up after 30 retries ({reason})")
-    print(f"bench: {reason}; retrying in 60s (attempt {attempt + 1}/30)",
+    if attempt >= 45:
+        raise SystemExit(f"bench: giving up after 45 retries ({reason})")
+    print(f"bench: {reason}; retrying in 60s (attempt {attempt + 1}/45)",
           file=sys.stderr)
     time.sleep(60)
     os.environ["AOZORA_BENCH_ATTEMPT"] = str(attempt + 1)
