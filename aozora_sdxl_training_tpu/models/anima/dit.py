@@ -402,7 +402,14 @@ def dit_forward(params: Params, latents: jax.Array, timesteps: jax.Array,
         x = x.astype(jnp.float32)
 
     block_fn = functools.partial(dit_block, cfg=cfg, attn_impl=attn_impl)
-    if remat:
+    if remat == "conservative":
+        # reference's selective checkpointing: keep the wide->narrow MLP
+        # down-proj outputs resident, recompute the rest
+        # (train_anima.py:536-593 MUST_SAVE rule)
+        block_fn = jax.checkpoint(
+            block_fn, static_argnums=(1,),
+            policy=jax.checkpoint_policies.save_only_these_names("mlp_down"))
+    elif remat:
         block_fn = jax.checkpoint(block_fn, static_argnums=(1,))
     for i in range(cfg.num_blocks):
         x = block_fn(params, f"blocks.{i}", x, emb, context, rope, lora)

@@ -157,8 +157,10 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
     # ---- optimizer / jit ----
     opt_cfg = make_optimizer_config(config)
     lr_curve = curves.LRCurve(config.LR_CUSTOM_CURVE, config.MAX_TRAIN_STEPS)
-    remat = str(getattr(config, "ANIMA_GRADIENT_CHECKPOINTING_MODE",
-                        "Full")).title() != "Off"
+    ckpt_mode = str(getattr(config, "ANIMA_GRADIENT_CHECKPOINTING_MODE",
+                            "Full")).title()
+    remat = (False if ckpt_mode == "Off"
+             else "conservative" if ckpt_mode == "Conservative" else True)
     attn_impl = ("flash" if str(getattr(
         config, "MEMORY_EFFICIENT_ATTENTION", "sdpa")).lower()
         in ("flash", "pallas") and jax.default_backend() == "tpu" else "xla")

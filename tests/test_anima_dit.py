@@ -142,3 +142,27 @@ def test_gradients_flow_through_adapter(tiny):
     adapter_grads = [v for k, v in grads.items() if k.startswith("llm_adapter.")
                      and float(jnp.abs(v).max()) > 0]
     assert len(adapter_grads) > 10  # the adapter trains inside the DiT fwd
+
+
+def test_remat_modes_gradients_match(tiny):
+    """Full / Conservative (save-mlp_down policy) / Off remat are pure
+    memory tradeoffs — gradients must match."""
+    cfg, params = tiny
+    lat = jax.random.normal(jax.random.PRNGKey(9), (1, 1, 4, 4, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.PRNGKey(10), (1, 4, cfg.adapter_source_dim))
+    ids = jnp.ones((1, 4), jnp.int32)
+
+    def loss(p, mode):
+        out = dit.dit_forward(p, lat, jnp.array([100.0]), ctx, cfg=cfg,
+                              t5_ids=ids, compute_dtype=jnp.float32,
+                              remat=mode)
+        return jnp.mean(out ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    for mode in (True, "conservative"):
+        g = jax.grad(lambda p, m=mode: loss(p, m))(params)
+        for key in ("blocks.0.mlp.layer1.weight",
+                    "llm_adapter.embed.weight"):
+            np.testing.assert_allclose(np.asarray(g[key]), np.asarray(g_ref[key]),
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=f"{mode}:{key}")
