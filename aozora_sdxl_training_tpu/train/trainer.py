@@ -168,6 +168,20 @@ def print_param_stats(trainable: dict, frozen: dict) -> None:
     print("=" * 50 + "\n")
 
 
+def _sdxl_remat_mode():
+    """Rematerialization mode for the SDXL UNet (default: full remat, the
+    memory-safest — matches the reference always enabling gradient
+    checkpointing).  AOZORA_SDXL_REMAT={full,dots,dots_no_logits,off}
+    selects the measured alternatives (models/sdxl/unet._maybe_remat)."""
+    import os
+    mode = os.environ.get("AOZORA_SDXL_REMAT", "full").strip().lower()
+    if mode in ("off", "none", "0", "false"):
+        return False
+    if mode in ("dots", "dots_no_batch", "dots_no_logits"):
+        return mode
+    return True
+
+
 def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
     """``unet_cfg`` overrides checkpoint-shape detection (tiny test models)."""
     output_dir = Path(config.OUTPUT_DIR)
@@ -251,7 +265,7 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
             in ("flash", "pallas") and jax.default_backend() == "tpu"
             else "xla"),
         compute_dtype=config.compute_dtype,
-        remat=True)
+        remat=_sdxl_remat_mode())
 
     devices = jax.devices()
     tp = max(1, int(getattr(config, "TENSOR_PARALLEL_SIZE", 1) or 1))
