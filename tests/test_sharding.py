@@ -219,3 +219,44 @@ def test_int8_opt_state_shardings_tuple_leaves():
     assert leaf[0].dtype == jnp.int8
     np.testing.assert_array_equal(np.asarray(leaf[0]),
                                   np.asarray(state.exp_avg[qkey][0]))
+
+
+@requires_8
+def test_train_state_roundtrip_across_mesh_shapes(tmp_path):
+    """SURVEY §4: checkpoint save/restore across mesh shapes. State saved
+    from a dp=8 mesh must reload bit-identically onto a dp=2 x tp=4 mesh
+    (and onto the host)."""
+    from aozora_sdxl_training_tpu.ckpt.train_state import (
+        load_train_state,
+        save_train_state,
+    )
+
+    params = init_params(TINY, jax.random.PRNGKey(3))
+    trainable, _ = split_trainable(params, ["conv1", "conv2"])
+    opt_cfg = adamw.AdamWConfig(momentum_dtype=jnp.float32)
+    state = adamw.init_state(trainable, opt_cfg)
+    # give the moments non-trivial values
+    state = adamw.AdamWState(
+        step=jnp.asarray(7, jnp.int32),
+        exp_avg=jax.tree.map(lambda x: x + 0.25, trainable),
+        exp_avg_sq=jax.tree.map(lambda x: x * x, trainable))
+
+    mesh8 = shard.make_mesh(jax.devices(), dp=8)
+    sharded = shard.put_tree(state, shard.opt_state_shardings(state, mesh8))
+    path = tmp_path / "state.safetensors"
+    save_train_state(path, global_step=3, micro_step=12, opt_state=sharded,
+                     sampler_seed=42, sampler_epoch=1,
+                     timestep_sampler_state={"current_step": 12})
+
+    meta, loaded = load_train_state(path)
+    assert meta["global_step"] == 3 and meta["micro_step"] == 12
+    mesh24 = shard.make_mesh(jax.devices(), dp=2, tp=4)
+    replaced = shard.put_tree(loaded, shard.opt_state_shardings(loaded, mesh24))
+    for k in trainable:
+        np.testing.assert_array_equal(
+            np.asarray(replaced.exp_avg[k]), np.asarray(state.exp_avg[k]),
+            err_msg=k)
+        np.testing.assert_array_equal(
+            np.asarray(replaced.exp_avg_sq[k]), np.asarray(state.exp_avg_sq[k]),
+            err_msg=k)
+    assert int(replaced.step) == 7
