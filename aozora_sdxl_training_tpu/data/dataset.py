@@ -43,6 +43,30 @@ def unpack_sample_index(packed: int) -> tuple[int, int]:
     return packed & SAMPLE_INDEX_MASK, packed >> SAMPLE_INDEX_BITS
 
 
+def pad_batch_arrays(batch: dict, target: int) -> dict:
+    """Cyclically pad every batch-axis array up to ``target`` samples.
+
+    dp meshes need the global batch divisible by dp, but the bucket batch
+    schedule emits ragged boundary chunks (reference parity, train.py:
+    461-537) and corrupt items are dropped at fetch.  Padding repeats real
+    samples; ``sample_mask`` (1 real / 0 padded) zeroes them out of the
+    loss, so numerics match the unpadded batch exactly.  Adds ``real_n``.
+    """
+    real_n = int(next(v.shape[0] for v in batch.values()
+                      if isinstance(v, np.ndarray) and v.ndim >= 1))
+    out = dict(batch)
+    if target > real_n:
+        idx = np.arange(target) % real_n
+        for key, v in batch.items():
+            if isinstance(v, np.ndarray) and v.ndim >= 1 \
+                    and v.shape[0] == real_n:
+                out[key] = v[idx]
+    out["sample_mask"] = (np.arange(max(target, real_n)) < real_n
+                          ).astype(np.float32)
+    out["real_n"] = real_n
+    return out
+
+
 def pack_sample_schedule(image_schedule, batch_size: int):
     """[[dataset_idx,...], ...] -> [[packed,...], ...] (train.py:2245-2254)."""
     batch_size = max(1, int(batch_size or 1))

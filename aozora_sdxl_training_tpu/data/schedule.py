@@ -154,8 +154,12 @@ class TimestepTicketSampler:
     Parity: /root/reference/train.py:2163-2210 (``TimestepSampler``).
     """
 
-    def __init__(self, config, total_timestep_count: int = 1000):
-        self.batch_size = int(config.BATCH_SIZE)
+    def __init__(self, config, total_timestep_count: int = 1000,
+                 batch_size: int | None = None):
+        # batch_size: the *global* batch when training on a dp mesh
+        # (config.BATCH_SIZE is per-dp-shard; parallel/sharding.py).
+        self.batch_size = int(batch_size if batch_size is not None
+                              else config.BATCH_SIZE)
         self.total_tickets_needed = int(config.MAX_TRAIN_STEPS) * self.batch_size
         self.seed = int(config.SEED if config.SEED else 42)
         self.ticket_pool, self.bin_ranges = build_timestep_ticket_pool(

@@ -20,11 +20,54 @@ the collectives.
 
 from __future__ import annotations
 
-from typing import Any
+import os
+from typing import Any, NamedTuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class MeshLayout(NamedTuple):
+    """Resolved device layout + batch semantics for a training run."""
+
+    devices: tuple
+    dp: int
+    tp: int
+    global_batch: int
+    use_mesh: bool
+
+
+def resolve_mesh_layout(config) -> MeshLayout:
+    """Decide dp x tp and the *global* batch for this run.
+
+    ``BATCH_SIZE`` in the config is **per-dp-shard** (the reference is
+    single-GPU so its BATCH_SIZE trivially equals both readings;
+    /root/reference/configs/default_config.json ships batch 1).  On a mesh
+    the global batch becomes ``BATCH_SIZE * dp`` so the default config
+    scales onto a v5e-8 instead of silently training on one chip.
+
+    ``AOZORA_DEVICES=<n>`` caps the device count (tests / pinning).
+    """
+    devices = list(jax.devices())
+    limit = int(os.environ.get("AOZORA_DEVICES", "0") or 0)
+    if limit > 0:
+        devices = devices[:limit]
+    tp = max(1, int(getattr(config, "TENSOR_PARALLEL_SIZE", 1) or 1))
+    if len(devices) % tp != 0:
+        print(f"WARNING: TENSOR_PARALLEL_SIZE={tp} does not divide "
+              f"{len(devices)} device(s); falling back to tp=1.")
+        tp = 1
+    dp = max(1, len(devices) // tp)
+    per_shard = int(config.BATCH_SIZE)
+    global_batch = per_shard * dp
+    use_mesh = len(devices) > 1
+    if dp > 1:
+        print(f"INFO: BATCH_SIZE={per_shard} is per-dp-shard: global batch "
+              f"= {per_shard} x dp{dp} = {global_batch} "
+              f"(mesh dp={dp} x tp={tp} over {dp * tp} device(s)).")
+    return MeshLayout(tuple(devices[: dp * tp]), dp, tp, global_batch,
+                      use_mesh)
 
 
 def make_mesh(devices=None, *, dp: int | None = None, tp: int = 1) -> Mesh:

@@ -34,7 +34,8 @@ from ..ckpt.train_state import (load_train_state, output_model_stem,
                                 save_train_state)
 from ..data.anima_cache import (AnimaLatentDataset, check_if_anima_caching_needed,
                                 precompute_and_cache_anima)
-from ..data.dataset import BatchPrefetcher, pack_sample_schedule
+from ..data.dataset import (BatchPrefetcher, pack_sample_schedule,
+                            pad_batch_arrays)
 from ..data.schedule import TimestepTicketSampler, build_image_batch_schedule
 from ..models.anima import dit as dit_mod
 from ..opt import adamw
@@ -55,31 +56,43 @@ def split_trainable_dit(params, exclude_keywords):
 
 
 def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
-                          compute_dtype, attn_impl, remat):
+                          compute_dtype, attn_impl, remat,
+                          spatial_strength: float = 0.0):
+    """``spatial_strength`` > 0 enables the line-art-masked loss: the
+    ``spatial_mask`` micro-step input then boosts per-pixel error by
+    ``1 + mask * strength`` (repair trainer, reference
+    train_anima_repair.py:2213-2217).  Pass spatial_mask=None when off."""
     inv_ga = 1.0 / float(grad_accum_steps)
 
     def loss_fn(trainable, frozen, latents, prompt_emb, t5_ids, tickets,
-                loss_weights, seed, micro_step):
+                sample_mask, spatial_mask, loss_weights, seed, micro_step):
         from . import objectives as sdxl_obj
         params = {**frozen, **trainable}
         sigmas, timesteps = anima_objectives.ticket_to_sigma_timestep(tickets)
         noise = sdxl_obj.noise_for_step(seed, micro_step, latents.shape)
         noisy, target = anima_objectives.flowmatch_noise_and_target(
             latents, noise, sigmas)
-        # (B, H, W, C) -> (B, T=1, H, W, C); DiT conditioned on t/1000
+        # image mode: (B, H, W, C) -> (B, T=1, H, W, C); video mode feeds
+        # (B, T, H, W, C) straight through.  DiT conditioned on t/1000.
+        video = noisy.ndim == 5
+        x_in = noisy if video else noisy[:, None]
         pred = dit_mod.dit_forward(
-            params, noisy[:, None].astype(compute_dtype), timesteps / 1000.0,
+            params, x_in.astype(compute_dtype), timesteps / 1000.0,
             prompt_emb.astype(compute_dtype), cfg=cfg, t5_ids=t5_ids,
             attn_impl=attn_impl, compute_dtype=compute_dtype, remat=remat)
+        pred = pred if video else pred[:, 0]
         weights = loss_weights[jnp.clip(tickets, 0, loss_weights.shape[0] - 1)]
-        loss = anima_objectives.weighted_flowmatch_mse(pred[:, 0], target, weights)
+        loss = anima_objectives.weighted_flowmatch_mse(
+            pred, target, weights, sample_mask=sample_mask,
+            spatial_mask=spatial_mask, spatial_strength=spatial_strength)
         return loss, sigmas[0]
 
     def micro_step(trainable, frozen, grad_accum, latents, prompt_emb, t5_ids,
-                   tickets, loss_weights, seed, micro_step_idx, keep):
+                   tickets, sample_mask, spatial_mask, loss_weights, seed,
+                   micro_step_idx, keep):
         (loss, sigma0), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, frozen, latents, prompt_emb, t5_ids, tickets,
-            loss_weights, seed, micro_step_idx)
+            sample_mask, spatial_mask, loss_weights, seed, micro_step_idx)
         new_accum = jax.tree.map(
             lambda a, g: a * keep + g.astype(jnp.float32) * inv_ga,
             grad_accum, grads)
@@ -88,10 +101,18 @@ def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
     return micro_step
 
 
-def run_anima_training(config, *, post_step_hook=None) -> None:
-    """``post_step_hook(trainable_numpy_dict) -> updated_numpy_dict`` runs
-    after every optimizer step on host copies of the trainable params — the
-    QAT repair trainer's projected-quantization hook plugs in here."""
+def run_anima_training(config, *, post_step_hook=None,
+                       device_projector=None) -> dict:
+    """Returns {"trainable": ..., "qat_residuals": ...} (device arrays).
+
+    ``device_projector`` — an ``(init_residuals, project)`` pair from
+    :func:`qat_project_jax.make_device_projector`: the projection runs as a
+    jitted program on device after every optimizer step (error-feedback
+    residuals stay in HBM; zero host traffic).  This is the QAT repair path.
+
+    ``post_step_hook(trainable_numpy_dict) -> updated_numpy_dict`` — legacy
+    host-side hook at optimizer-step cadence (full D2H/H2D round trip each
+    step; kept for tooling that needs host access mid-run)."""
     output_dir = Path(config.OUTPUT_DIR)
     output_dir.mkdir(parents=True, exist_ok=True)
     flag_path = force_save_flag_path()
@@ -138,9 +159,14 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
     print(f"INFO: DiT Parameters: total={n_t + n_f:,} trainable={n_t:,} "
           f"frozen={n_f:,}")
 
+    # ---- mesh layout (decides the global batch the schedules use) ----
+    from ..parallel import sharding as shard
+    layout = shard.resolve_mesh_layout(config)
+    global_batch = layout.global_batch
+
     # ---- schedules ----
     dataset = AnimaLatentDataset(config)
-    ts_sampler = TimestepTicketSampler(config)
+    ts_sampler = TimestepTicketSampler(config, batch_size=global_batch)
     if initial_ts_state is not None:
         ts_sampler.load_state_dict(initial_ts_state)
     elif config.RESUME_TRAINING and micro_step > 0:
@@ -148,10 +174,10 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
     loss_weights = jnp.asarray(
         curves.timestep_loss_curve_from_config(config, 1000))
     schedule = build_image_batch_schedule(
-        dataset.bucket_keys, config.MAX_TRAIN_STEPS, config.BATCH_SIZE,
+        dataset.bucket_keys, config.MAX_TRAIN_STEPS, global_batch,
         initial_sampler_seed, ts_sampler.ticket_pool, ts_sampler.bin_ranges,
         bool(getattr(config, "TIMESTEP_FORCE_IMAGE_BIN_SPREAD", False)))
-    packed = pack_sample_schedule(schedule, config.BATCH_SIZE)
+    packed = pack_sample_schedule(schedule, global_batch)
     print(f"INFO: Precomputed batch schedule for {len(packed):,} step(s).")
 
     # ---- optimizer / jit ----
@@ -164,9 +190,17 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
     attn_impl = ("flash" if str(getattr(
         config, "MEMORY_EFFICIENT_ATTENTION", "sdpa")).lower()
         in ("flash", "pallas") and jax.default_backend() == "tpu" else "xla")
+    lineart_enabled = bool(getattr(config,
+                                   "ANIMA_REPAIR_LINEART_LOSS_ENABLED", False))
+    lineart_strength = max(0.0, float(getattr(
+        config, "ANIMA_REPAIR_LINEART_LOSS_STRENGTH", 0.5)))
+    if lineart_enabled:
+        print(f"INFO: Cached line-art loss: enabled=True, "
+              f"max_weight={1.0 + lineart_strength:g}x")
     micro = make_anima_micro_step(
         dit_cfg, grad_accum_steps=config.GRADIENT_ACCUMULATION_STEPS,
-        compute_dtype=config.compute_dtype, attn_impl=attn_impl, remat=remat)
+        compute_dtype=config.compute_dtype, attn_impl=attn_impl, remat=remat,
+        spatial_strength=(lineart_strength if lineart_enabled else 0.0))
 
     clip = float(config.CLIP_GRAD_NORM)
 
@@ -174,7 +208,13 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
         clipped, raw_norm = adamw.clip_by_global_norm(grad_accum, clip)
         new_params, new_state = adamw.apply_updates(
             trainable, clipped, opt_state, opt_cfg, lr=lr)
-        return new_params, new_state, raw_norm
+        # real "Update Magnitude" for the diagnostic block: global L2 norm
+        # of the parameter delta, a free fused reduction in-jit
+        delta_sq = sum(
+            jnp.sum((n.astype(jnp.float32) - p.astype(jnp.float32)) ** 2)
+            for n, p in zip(jax.tree.leaves(new_params),
+                            jax.tree.leaves(trainable)))
+        return new_params, new_state, raw_norm, jnp.sqrt(delta_sq)
 
     opt_state = adamw.init_state(trainable, opt_cfg)
     if resume_opt_state is not None and set(resume_opt_state.exp_avg) == set(trainable):
@@ -182,15 +222,10 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
         print("INFO: Restored optimizer state from resume checkpoint.")
 
     # mesh: dp batch sharding + FSDP/ZeRO params and optimizer state
-    from ..parallel import sharding as shard
-    devices = jax.devices()
-    tp = max(1, int(getattr(config, "TENSOR_PARALLEL_SIZE", 1) or 1))
-    dp = max(1, len(devices) // tp)
-    use_mesh = (len(devices) > 1 and len(devices) % tp == 0
-                and config.BATCH_SIZE % dp == 0)
+    use_mesh = layout.use_mesh
     mesh_shardings = None
     if use_mesh:
-        mesh = shard.make_mesh(devices, dp=dp, tp=tp)
+        mesh = shard.make_mesh(layout.devices, dp=layout.dp, tp=layout.tp)
         mesh_shardings = {
             "trainable": shard.params_shardings(trainable, mesh),
             "frozen": shard.params_shardings(frozen, mesh),
@@ -209,7 +244,7 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
             micro, donate_argnums=(2,),
             in_shardings=(mesh_shardings["trainable"], mesh_shardings["frozen"],
                           mesh_shardings["grad_accum"], sh_b, sh_b, sh_b,
-                          sh_b, sh_r, sh_r, sh_r, sh_r),
+                          sh_b, sh_b, sh_b, sh_r, sh_r, sh_r, sh_r),
             out_shardings=(sh_r, sh_r, mesh_shardings["grad_accum"]))
         apply_fn = jax.jit(
             apply_, donate_argnums=(0, 1, 2),
@@ -217,7 +252,7 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
                           mesh_shardings["grad_accum"],
                           mesh_shardings["opt_state"], sh_r),
             out_shardings=(mesh_shardings["trainable"],
-                           mesh_shardings["opt_state"], sh_r))
+                           mesh_shardings["opt_state"], sh_r, sh_r))
     else:
         micro_fn = jax.jit(micro, donate_argnums=(2,))
         apply_fn = jax.jit(apply_, donate_argnums=(0, 1, 2))
@@ -226,7 +261,18 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
     if mesh_shardings is not None:
         grad_accum = shard.put_tree(grad_accum, mesh_shardings["grad_accum"])
     seed_arr = jnp.asarray(int(config.SEED or 42), jnp.int32)
-    print_optimizer_summary(config, opt_cfg, trainable, lr_curve.initial_lr, 1)
+
+    qat_residuals = None
+    project_fn = None
+    if device_projector is not None:
+        init_residuals, project = device_projector
+        qat_residuals = init_residuals(trainable)
+        project_fn = jax.jit(project, donate_argnums=(0, 1))
+        print(f"INFO: in-jit QAT projection active on "
+              f"{len(qat_residuals)} tensor(s) (device residuals, "
+              "no host round-trip)")
+    print_optimizer_summary(config, opt_cfg, trainable, lr_curve.initial_lr,
+                            len(layout.devices) if use_mesh else 1)
 
     # ---- loop ----
     reporter = MetricsReporter(total_steps=config.MAX_TRAIN_STEPS)
@@ -268,16 +314,25 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
         micro_step += 1
         if profile_dir and micro_step == profile_window[0]:
             jax.profiler.start_trace(profile_dir)
-        tickets = ts_sampler.sample(batch["latents"].shape[0])
+        batch = pad_batch_arrays(batch, global_batch if use_mesh else 0)
+        real_n = int(batch["real_n"])
+        tickets = ts_sampler.sample(real_n)
+        dev_b = batch["latents"].shape[0]
+        if dev_b > real_n:
+            tickets = tickets[np.arange(dev_b) % real_n]
         keep = 0.0 if (micro_step - 1) % ga == 0 else 1.0
         latents = batch["latents"]
         if latents.ndim == 4 and latents.shape[1] == dit_cfg.in_channels \
                 and latents.shape[1] < latents.shape[-1]:
             latents = np.transpose(latents, (0, 2, 3, 1))  # NCHW cache -> NHWC
+        spatial = batch.get("lineart_mask")
+        spatial = (jnp.asarray(spatial, jnp.float32)
+                   if lineart_enabled and spatial is not None else None)
         loss_dev, sigma_dev, grad_accum = micro_fn(
             trainable, frozen, grad_accum, jnp.asarray(latents),
             jnp.asarray(batch["prompt_emb"]), jnp.asarray(batch["t5xxl_ids"]),
-            jnp.asarray(tickets), loss_weights, seed_arr,
+            jnp.asarray(tickets), jnp.asarray(batch["sample_mask"]), spatial,
+            loss_weights, seed_arr,
             jnp.asarray(micro_step, jnp.int32), jnp.asarray(keep, jnp.float32))
 
         loss_val = float(loss_dev)
@@ -289,7 +344,7 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
         block = None
         if micro_step % ga == 0:
             lr = lr_curve.lr_at(micro_step)
-            trainable, opt_state, raw_norm = apply_fn(
+            trainable, opt_state, raw_norm, update_norm = apply_fn(
                 trainable, grad_accum, opt_state, jnp.asarray(lr, jnp.float32))
             grad_accum = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
                                       trainable)
@@ -297,6 +352,8 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
                 grad_accum = shard.put_tree(grad_accum,
                                             mesh_shardings["grad_accum"])
             optimizer_step += 1
+            if project_fn is not None:
+                trainable, qat_residuals = project_fn(trainable, qat_residuals)
             if post_step_hook is not None:
                 host = {k: np.asarray(v) for k, v in trainable.items()}
                 projected = post_step_hook(host)
@@ -309,7 +366,7 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
             block = optimizer_block(
                 optimizer_step, sum(diag_losses) / max(len(diag_losses), 1),
                 lr, dt, sum(optim_times) / len(optim_times), rn,
-                min(rn, clip) if clip > 0 else rn, 1.0 if rn > 0 else 0.0)
+                min(rn, clip) if clip > 0 else rn, float(update_norm))
             diag_losses.clear()
             scheduled = (config.SAVE_EVERY_N_STEPS > 0
                          and optimizer_step % config.SAVE_EVERY_N_STEPS == 0)
@@ -339,6 +396,7 @@ def run_anima_training(config, *, post_step_hook=None) -> None:
     save_dit_model(output_dir / f"{stem}.safetensors", torch_state,
                    prefix=save_prefix, dtype=config.compute_dtype)
     print("All tasks complete. Final model saved.")
+    return {"trainable": trainable, "qat_residuals": qat_residuals}
 
 
 def _dit_config_for_state(state: dict) -> dit_mod.AnimaDiTConfig:

@@ -53,18 +53,28 @@ def noise_sigma_table() -> np.ndarray:
 
 def noise_for_step(seed: int | jax.Array, micro_step: jax.Array,
                    shape: tuple[int, ...]) -> jax.Array:
-    """Step-keyed fp32 Gaussian noise; pure function of (seed, step, shape)."""
-    key = jax.random.fold_in(
+    """Step-keyed fp32 Gaussian noise; pure function of (seed, step, slot).
+
+    Keys are folded per batch *slot*, so sample i's noise is independent of
+    the batch size — a dp-padded batch and the unpadded batch give every
+    real sample bit-identical noise (mesh-shape-invariant numerics)."""
+    base = jax.random.fold_in(
         jax.random.fold_in(jax.random.PRNGKey(seed), _NOISE_TAG), micro_step)
-    return jax.random.normal(key, shape, jnp.float32)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.arange(shape[0]))
+    return jax.vmap(
+        lambda k: jax.random.normal(k, shape[1:], jnp.float32))(keys)
 
 
 def rf_jitter_for_step(seed: int | jax.Array, micro_step: jax.Array,
                        batch: int) -> jax.Array:
-    """Uniform [0,1) per-sample jitter for rectified-flow timesteps."""
-    key = jax.random.fold_in(
+    """Uniform [0,1) per-sample jitter for rectified-flow timesteps.
+    Per-slot keys: batch-size invariant like :func:`noise_for_step`."""
+    base = jax.random.fold_in(
         jax.random.fold_in(jax.random.PRNGKey(seed), _JITTER_TAG), micro_step)
-    return jax.random.uniform(key, (batch,), jnp.float32)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(batch))
+    return jax.vmap(
+        lambda k: jax.random.uniform(k, (), jnp.float32))(keys)
 
 
 def ddpm_add_noise(latents: jax.Array, noise: jax.Array,
@@ -112,9 +122,15 @@ def prepare_batch(prediction_type: str, latents: jax.Array, noise: jax.Array,
 
 def weighted_mse_loss(pred: jax.Array, target: jax.Array,
                       timesteps: jax.Array,
-                      timestep_loss_weights: jax.Array | None = None) -> jax.Array:
+                      timestep_loss_weights: jax.Array | None = None,
+                      sample_mask: jax.Array | None = None) -> jax.Array:
     """Per-sample fp32 MSE x timestep-curve weight, then mean
-    (parity: /root/reference/train.py:2408-2416)."""
+    (parity: /root/reference/train.py:2408-2416).
+
+    ``sample_mask`` (B,) zeroes padding samples (dp meshes pad ragged
+    bucket-boundary batches up to the global batch); the mean divides by
+    the *real* sample count so padded and unpadded batches are numerically
+    identical."""
     diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
     per_sample = jnp.mean(diff.reshape(diff.shape[0], -1) ** 2, axis=1)
     if timestep_loss_weights is None:
@@ -123,4 +139,7 @@ def weighted_mse_loss(pred: jax.Array, target: jax.Array,
         idx = jnp.clip(timesteps.astype(jnp.int32), 0,
                        timestep_loss_weights.shape[0] - 1)
         weights = timestep_loss_weights[idx]
-    return jnp.mean(per_sample * weights)
+    if sample_mask is None:
+        return jnp.mean(per_sample * weights)
+    m = sample_mask.astype(jnp.float32)
+    return jnp.sum(per_sample * weights * m) / jnp.maximum(jnp.sum(m), 1.0)

@@ -59,7 +59,8 @@ class TrainStepConfig:
 
 def make_loss_fn(cfg: TrainStepConfig):
     def loss_fn(trainable: Params, frozen: Params, latents, embeds, pooled,
-                time_ids, timesteps, loss_weights, seed, micro_step):
+                time_ids, timesteps, sample_mask, loss_weights, seed,
+                micro_step):
         params = {**frozen, **trainable}
         noise = objectives.noise_for_step(seed, micro_step, latents.shape)
         rf_jitter = (objectives.rf_jitter_for_step(seed, micro_step,
@@ -71,7 +72,8 @@ def make_loss_fn(cfg: TrainStepConfig):
             params, noisy.astype(cfg.compute_dtype), t_cond, embeds, pooled,
             time_ids, cfg=cfg.unet, attn_impl=cfg.attn_impl,
             compute_dtype=cfg.compute_dtype, remat=cfg.remat)
-        loss = objectives.weighted_mse_loss(pred, target, timesteps, loss_weights)
+        loss = objectives.weighted_mse_loss(pred, target, timesteps,
+                                            loss_weights, sample_mask)
         return loss, sigma
 
     return loss_fn
@@ -88,11 +90,11 @@ def make_micro_step(cfg: TrainStepConfig):
     inv_ga = 1.0 / float(cfg.grad_accum_steps)
 
     def micro_step(trainable, frozen, grad_accum, latents, embeds, pooled,
-                   time_ids, timesteps, loss_weights, seed, micro_step_idx,
-                   keep):
+                   time_ids, timesteps, sample_mask, loss_weights, seed,
+                   micro_step_idx, keep):
         (loss, sigma), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, frozen, latents, embeds, pooled, time_ids, timesteps,
-            loss_weights, seed, micro_step_idx)
+            sample_mask, loss_weights, seed, micro_step_idx)
         new_accum = jax.tree.map(
             lambda a, g: a * keep + g.astype(jnp.float32) * inv_ga,
             grad_accum, grads)
@@ -103,14 +105,23 @@ def make_micro_step(cfg: TrainStepConfig):
 
 def make_apply_step(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig):
     """apply_step(trainable, grad_accum, opt_state, lr) ->
-    (new_trainable, new_opt_state, raw_grad_norm)."""
+    (new_trainable, new_opt_state, raw_grad_norm, update_norm).
+
+    ``update_norm`` is the global L2 norm of the actual parameter delta —
+    the real "Update Magnitude" for the optimizer diagnostic block (the
+    reference prints a placeholder 1.0/0.0 there, train.py:2797; computing
+    the true delta is a free fused reduction inside this jit)."""
 
     def apply_step(trainable, grad_accum, opt_state, lr):
         clipped, raw_norm = adamw.clip_by_global_norm(
             grad_accum, cfg.clip_grad_norm)
         new_params, new_state = adamw.apply_updates(
             trainable, clipped, opt_state, opt_cfg, lr=lr)
-        return new_params, new_state, raw_norm
+        delta_sq = sum(
+            jnp.sum((np_.astype(jnp.float32) - p.astype(jnp.float32)) ** 2)
+            for np_, p in zip(jax.tree.leaves(new_params),
+                              jax.tree.leaves(trainable)))
+        return new_params, new_state, raw_norm, jnp.sqrt(delta_sq)
 
     return apply_step
 
@@ -140,10 +151,10 @@ def jit_train_functions(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig,
         sh_b = shardings["batch"]      # sharding for (B, ...) leaves
         sh_r = shardings["replicated"]
         micro_kw["in_shardings"] = (
-            sh_t, sh_f, sh_g, sh_b, sh_b, sh_b, sh_b, sh_b, sh_r, sh_r, sh_r,
-            sh_r)
+            sh_t, sh_f, sh_g, sh_b, sh_b, sh_b, sh_b, sh_b, sh_b, sh_r, sh_r,
+            sh_r, sh_r)
         micro_kw["out_shardings"] = (sh_r, sh_r, sh_g)
         apply_kw["in_shardings"] = (sh_t, sh_g, sh_o, sh_r)
-        apply_kw["out_shardings"] = (sh_t, sh_o, sh_r)
+        apply_kw["out_shardings"] = (sh_t, sh_o, sh_r, sh_r)
 
     return (jax.jit(micro, **micro_kw), jax.jit(apply_, **apply_kw))

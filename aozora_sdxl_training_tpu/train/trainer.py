@@ -31,7 +31,8 @@ from ..ckpt.sd_checkpoint import (detect_unet_io_channels, load_sd_tensors,
 from ..ckpt.train_state import (load_train_state, output_model_stem,
                                 save_train_state)
 from ..data.cache_builder import check_if_caching_needed, precompute_and_cache
-from ..data.dataset import BatchPrefetcher, CachedLatentDataset, pack_sample_schedule
+from ..data.dataset import (BatchPrefetcher, CachedLatentDataset,
+                            pack_sample_schedule, pad_batch_arrays)
 from ..data.schedule import TimestepTicketSampler, build_image_batch_schedule
 from ..models.sdxl.arch import SDXL_BASE, UNetConfig
 from ..models.sdxl.conversion import params_from_sd_state
@@ -177,7 +178,8 @@ def _sdxl_remat_mode():
     mode = os.environ.get("AOZORA_SDXL_REMAT", "full").strip().lower()
     if mode in ("off", "none", "0", "false"):
         return False
-    if mode in ("dots", "dots_no_batch", "dots_no_logits"):
+    if mode in ("dots", "dots_no_batch", "dots_no_logits",
+                "dots_no_logits_hires", "full_hires"):
         return mode
     return True
 
@@ -230,11 +232,15 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
     trainable, frozen = split_trainable(params, config.UNET_EXCLUDE_TARGETS)
     print_param_stats(trainable, frozen)
 
+    # ---- mesh layout (decides the global batch the schedules use) ----
+    layout = shard.resolve_mesh_layout(config)
+    global_batch = layout.global_batch
+
     # ---- schedules ----
     print("\n--- Initializing Dataset ---")
     dataset = CachedLatentDataset(config)
     print_dataset_resolution_sample(dataset)
-    ts_sampler = TimestepTicketSampler(config)
+    ts_sampler = TimestepTicketSampler(config, batch_size=global_batch)
     if initial_ts_state is not None:
         ts_sampler.load_state_dict(initial_ts_state)
     elif config.RESUME_TRAINING and micro_step > 0:
@@ -242,10 +248,10 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
     loss_weights_np = curves.timestep_loss_curve_from_config(config, 1000)
 
     image_schedule = build_image_batch_schedule(
-        dataset.bucket_keys, config.MAX_TRAIN_STEPS, config.BATCH_SIZE,
+        dataset.bucket_keys, config.MAX_TRAIN_STEPS, global_batch,
         initial_sampler_seed, ts_sampler.ticket_pool, ts_sampler.bin_ranges,
         bool(getattr(config, "TIMESTEP_FORCE_IMAGE_BIN_SPREAD", False)))
-    packed_schedule = pack_sample_schedule(image_schedule, config.BATCH_SIZE)
+    packed_schedule = pack_sample_schedule(image_schedule, global_batch)
     print(f"INFO: Precomputed image batch schedule for {len(packed_schedule):,} step(s).")
 
     # ---- optimizer / jit ----
@@ -267,14 +273,10 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
         compute_dtype=config.compute_dtype,
         remat=_sdxl_remat_mode())
 
-    devices = jax.devices()
-    tp = max(1, int(getattr(config, "TENSOR_PARALLEL_SIZE", 1) or 1))
-    dp = max(1, len(devices) // tp)
-    use_mesh = (len(devices) > 1 and len(devices) % tp == 0
-                and config.BATCH_SIZE % dp == 0)
+    use_mesh = layout.use_mesh
     shardings = None
     if use_mesh:
-        mesh = shard.make_mesh(devices, dp=dp, tp=tp)
+        mesh = shard.make_mesh(layout.devices, dp=layout.dp, tp=layout.tp)
         shardings = {
             "trainable": shard.params_shardings(trainable, mesh),
             "frozen": shard.params_shardings(frozen, mesh),
@@ -309,16 +311,18 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
     seed_arr = jnp.asarray(int(config.SEED or 42), jnp.int32)
 
     print_optimizer_summary(config, opt_cfg, trainable, lr_curve.initial_lr,
-                            len(devices) if use_mesh else 1)
+                            len(layout.devices) if use_mesh else 1)
 
     # ---- loop ----
     reporter = MetricsReporter(total_steps=config.MAX_TRAIN_STEPS)
 
     def upload(batch):
         # H2D copies happen in the prefetch thread, overlapping device compute
-        out = dict(batch)
-        for key in ("latents", "embeds", "pooled", "time_ids"):
-            arr = jnp.asarray(batch[key])
+        # pad ragged batches up to the global batch (dp-divisible, one
+        # compiled shape); sample_mask zeroes the padding out of the loss
+        out = pad_batch_arrays(batch, global_batch if use_mesh else 0)
+        for key in ("latents", "embeds", "pooled", "time_ids", "sample_mask"):
+            arr = jnp.asarray(out[key])
             if use_mesh:
                 arr = jax.device_put(arr, shardings["batch"])
             out[key] = arr
@@ -358,7 +362,7 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
                 sum(diag_losses) / max(len(diag_losses), 1),
                 diag["lr"], diag["optim_step_time"],
                 sum(optim_times) / max(len(optim_times), 1),
-                raw_norm, clipped, 1.0 if raw_norm > 0 else 0.0)
+                raw_norm, clipped, float(diag["update_norm"]))
             diag_losses.clear()
         eta = ((config.MAX_TRAIN_STEPS - ms)
                * (sum(step_times) / max(len(step_times), 1))
@@ -391,21 +395,28 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
         micro_step += 1
         if profile_dir and micro_step == profile_window[0]:
             jax.profiler.start_trace(profile_dir)
-        tickets = ts_sampler.sample(batch["latents"].shape[0])
+        # tickets are consumed for REAL samples only, then padded to the
+        # device batch — pool consumption is identical across mesh shapes
+        real_n = int(batch.get("real_n", batch["latents"].shape[0]))
+        tickets = ts_sampler.sample(real_n)
         ticket0 = int(tickets[0])
+        dev_b = batch["latents"].shape[0]
+        if dev_b > real_n:
+            tickets = tickets[np.arange(dev_b) % real_n]
         keep = 0.0 if (micro_step - 1) % ga == 0 else 1.0
 
         loss_dev, sigma_dev, grad_accum = micro_fn(
             trainable, frozen, grad_accum,
             jnp.asarray(batch["latents"]), jnp.asarray(batch["embeds"]),
             jnp.asarray(batch["pooled"]), jnp.asarray(batch["time_ids"]),
-            jnp.asarray(tickets), loss_weights, seed_arr,
+            jnp.asarray(tickets), jnp.asarray(batch["sample_mask"]),
+            loss_weights, seed_arr,
             jnp.asarray(micro_step, jnp.int32), jnp.asarray(keep, jnp.float32))
 
         diag = None
         if micro_step % ga == 0:
             lr = lr_curve.lr_at(micro_step)
-            trainable, opt_state, raw_norm = apply_fn(
+            trainable, opt_state, raw_norm, update_norm = apply_fn(
                 trainable, grad_accum, opt_state,
                 jnp.asarray(lr, jnp.float32))
             grad_accum = zero_grad_accum(trainable)
@@ -417,7 +428,8 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
             optim_times.append(optim_dt)
             last_optim_time = time.time()
             diag = {"optim_step": optimizer_step, "lr": lr,
-                    "raw_norm": raw_norm, "optim_step_time": optim_dt}
+                    "raw_norm": raw_norm, "update_norm": update_norm,
+                    "optim_step_time": optim_dt}
 
             scheduled = (config.SAVE_EVERY_N_STEPS > 0
                          and optimizer_step % config.SAVE_EVERY_N_STEPS == 0)

@@ -87,3 +87,29 @@ def test_weighted_mse_loss():
     assert float(loss) == pytest.approx(1.25)
     loss_unweighted = obj.weighted_mse_loss(pred, target, ts, None)
     assert float(loss_unweighted) == pytest.approx(1.0)
+
+
+def test_noise_is_batch_size_invariant():
+    """Per-slot keying: padding a batch must not change real samples' noise
+    (dp-mesh padded batches == unpadded batches numerically)."""
+    n2 = obj.noise_for_step(42, jnp.asarray(7), (2, 4, 4, 4))
+    n8 = obj.noise_for_step(42, jnp.asarray(7), (8, 4, 4, 4))
+    np.testing.assert_array_equal(np.asarray(n8[:2]), np.asarray(n2))
+    j2 = obj.rf_jitter_for_step(42, jnp.asarray(3), 2)
+    j8 = obj.rf_jitter_for_step(42, jnp.asarray(3), 8)
+    np.testing.assert_array_equal(np.asarray(j8[:2]), np.asarray(j2))
+
+
+def test_masked_mse_matches_unpadded_mean():
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.normal(size=(2, 4, 4, 4)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(2, 4, 4, 4)).astype(np.float32))
+    ts = jnp.asarray([100, 900], jnp.int32)
+    weights = jnp.asarray(np.linspace(0.5, 1.5, 1000), jnp.float32)
+    plain = obj.weighted_mse_loss(pred, target, ts, weights)
+    # pad to 8 by repeating samples; mask the padding out
+    idx = jnp.asarray(np.arange(8) % 2)
+    mask = jnp.asarray((np.arange(8) < 2).astype(np.float32))
+    padded = obj.weighted_mse_loss(pred[idx], target[idx], ts[idx], weights,
+                                   sample_mask=mask)
+    assert float(plain) == pytest.approx(float(padded), rel=1e-6)
