@@ -26,8 +26,22 @@ def _to_torch_layout(name: str, arr: np.ndarray) -> np.ndarray:
     return arr
 
 
-def _from_torch_layout(name: str, arr: np.ndarray) -> np.ndarray:
-    return _to_torch_layout(name, arr)  # transpose is its own inverse
+def _preset_sets_lineart_flag(argv) -> bool:
+    """True if the --config preset explicitly carries the lineart flag."""
+    import argparse
+    import json
+
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("--config", type=str)
+    args, _ = parser.parse_known_args(argv)
+    if not args.config or not Path(args.config).exists():
+        return False
+    try:
+        raw = json.loads(Path(args.config).read_text(encoding="utf-8"))
+    except (json.JSONDecodeError, OSError):
+        return False
+    return ("repair_lineart_loss_enabled" in raw.get("anima", {})
+            or "ANIMA_REPAIR_LINEART_LOSS_ENABLED" in raw)
 
 
 def main(argv=None) -> None:
@@ -43,6 +57,10 @@ def main(argv=None) -> None:
     from ..train.qat_repair import ProjectedQuantController
 
     config = RuntimeConfig.from_argv(argv)
+    # line-art-masked loss defaults ON in the repair trainer (reference
+    # module constant, train_anima_repair.py:97) unless the preset says no
+    if not _preset_sets_lineart_flag(argv):
+        config.ANIMA_REPAIR_LINEART_LOSS_ENABLED = True
 
     quant_state = load_all(config.DIT_PATH)
     stripped, prefix = strip_prefix(quant_state, DIT_PREFIXES)
@@ -60,13 +78,24 @@ def main(argv=None) -> None:
     write_streaming(tmp, {f"{prefix}{k}": v for k, v in dequant.items()})
     config.DIT_PATH = str(tmp)
 
-    def post_step_hook(trainable_host: dict) -> dict:
-        torch_side = {k: _to_torch_layout(k, v)
-                      for k, v in trainable_host.items()}
-        projected = controller.project(torch_side)
-        return {k: _from_torch_layout(k, v) for k, v in projected.items()}
+    # projection runs in-jit after every optimizer step: error-feedback
+    # residuals live on device, quantize->dequantize is fused XLA — no
+    # per-step host round-trip (the reference moves every weight through
+    # CPU FP16 residual buffers each step, train_anima_repair.py:1497-1645)
+    from ..train.qat_project_jax import make_device_projector
+    projector = make_device_projector(controller.formats,
+                                      controller.nvfp4_multipliers)
+    result = run_anima_training(config, device_projector=projector)
 
-    run_anima_training(config, post_step_hook=post_step_hook)
+    # one host pass at save time: rebuild the effective weights (projected +
+    # residual) and quantize them into the exact packed records
+    final = result["trainable"]
+    residuals = result["qat_residuals"] or {}
+    torch_final = {k: _to_torch_layout(k, np.asarray(v, np.float32))
+                   for k, v in final.items() if k in controller.formats}
+    for k, r in residuals.items():
+        controller.residuals[k] = np.asarray(r, np.float32)
+    controller.project(torch_final)
 
     out = Path(config.OUTPUT_DIR) / "repaired_quantized.safetensors"
     # save the exact packed representation under the original key prefix

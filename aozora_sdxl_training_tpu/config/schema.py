@@ -147,6 +147,16 @@ def _fields() -> list[Field]:
         Field("VAE_CACHING_TILED", True, ANIMA_ONLY),
         Field("VAE_CACHING_TILE_SIZE", [96, 96], ANIMA_ONLY),
         Field("VAE_CACHING_TILE_STRIDE", [72, 72], ANIMA_ONLY),
+        # TPU extension: frames per training clip (1 = the reference's
+        # image-mode training; >1 enables video flow-matching — animated
+        # GIF/WEBP sources are decoded to 1+4k frames for the causal VAE)
+        Field("ANIMA_VIDEO_FRAMES", 1, ANIMA_ONLY, nested_name="video_frames"),
+        # QAT repair extras (module constants in the reference,
+        # train_anima_repair.py:97-98; preset-controllable here)
+        Field("ANIMA_REPAIR_LINEART_LOSS_ENABLED", False, ANIMA_ONLY,
+              nested_name="repair_lineart_loss_enabled"),
+        Field("ANIMA_REPAIR_LINEART_LOSS_STRENGTH", 0.5, ANIMA_ONLY,
+              nested_name="repair_lineart_loss_strength"),
         Field("REBUILD_CACHE", False, SHARED),
         # --- VAE ---
         Field("VAE_NORMALIZATION_MODE", "scalar", SHARED),

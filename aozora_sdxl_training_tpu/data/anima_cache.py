@@ -50,7 +50,22 @@ def anima_cache_options(config) -> dict:
         "vae_caching_tiled": bool(getattr(config, "VAE_CACHING_TILED", True)),
         "vae_caching_tile_size": list(getattr(config, "VAE_CACHING_TILE_SIZE", [96, 96])),
         "vae_caching_tile_stride": list(getattr(config, "VAE_CACHING_TILE_STRIDE", [72, 72])),
+        # QAT repair: line-art loss masks ride the latent payloads (parity:
+        # train_anima_repair.py:315-343); keys appear only when enabled so
+        # standard-trainer caches stay valid
+        **({"repair_lineart_loss_enabled": True,
+            "repair_lineart_mask_version": 2}
+           if bool(getattr(config, "ANIMA_REPAIR_LINEART_LOSS_ENABLED",
+                           False)) else {}),
+        # video mode (TPU extension): clip length changes the latent payload
+        **({"video_frames": clip_frames_for_config(config)}
+           if clip_frames_for_config(config) > 1 else {}),
     }
+
+
+def clip_frames_for_config(config) -> int:
+    from .image_prep import clip_frame_count
+    return clip_frame_count(getattr(config, "ANIMA_VIDEO_FRAMES", 1) or 1)
 
 
 def _image_layout_match(cached, expected) -> bool:
@@ -60,7 +75,9 @@ def _image_layout_match(cached, expected) -> bool:
 
 def _latent_match(cached, expected) -> bool:
     keys = cs.CACHE_LATENT_OPTION_KEYS + (
-        "vae_caching_tiled", "vae_caching_tile_size", "vae_caching_tile_stride")
+        "vae_caching_tiled", "vae_caching_tile_size", "vae_caching_tile_stride",
+        "repair_lineart_loss_enabled", "repair_lineart_mask_version",
+        "video_frames")
     return cs.options_match(cached, expected, keys)
 
 
@@ -118,11 +135,13 @@ def check_if_anima_caching_needed(config) -> bool:
 
 class AnimaCacheEncoders:
     """encode_prompt(captions) -> (prompt_emb list, t5_ids list);
-    encode_image(pixels HWC) -> latents (H/8, W/8, z)."""
+    encode_image(pixels HWC) -> latents (H/8, W/8, z);
+    encode_clip(frames THWC) -> latents (1+(T-1)/4, H/8, W/8, z)."""
 
-    def __init__(self, *, encode_prompt, encode_image):
+    def __init__(self, *, encode_prompt, encode_image, encode_clip=None):
         self.encode_prompt = encode_prompt
         self.encode_image = encode_image
+        self.encode_clip = encode_clip
 
     @classmethod
     def from_config(cls, config):
@@ -175,7 +194,17 @@ class AnimaCacheEncoders:
                 out = np.asarray(vae_jit(jnp.asarray(px)), np.float32)
             return out[0]
 
-        return cls(encode_prompt=encode_prompt, encode_image=encode_image)
+        clip_jit = jax.jit(lambda px: wan_vae.encode_video(vae_params, px,
+                                                           cfg=v_cfg))
+
+        def encode_clip(frames_thwc: np.ndarray) -> np.ndarray:
+            # full-frame causal-3D encode (one executable per (T, H, W));
+            # spatially-tiled video encode can land later if memory demands
+            return np.asarray(clip_jit(jnp.asarray(frames_thwc)[None]),
+                              np.float32)[0]
+
+        return cls(encode_prompt=encode_prompt, encode_image=encode_image,
+                   encode_clip=encode_clip)
 
 
 def _load_hf_tokenizer(path):
@@ -290,13 +319,30 @@ def precompute_and_cache_anima(config, encoders: AnimaCacheEncoders | None = Non
         if lat_jobs:
             print(f"INFO: Anima cache phase 2/2: encoding {len(lat_jobs)} latents "
                   f"(tiled={options['vae_caching_tiled']})")
+            lineart_on = bool(options.get("repair_lineart_loss_enabled"))
+            n_frames = int(options.get("video_frames", 1) or 1)
             for meta, lat_path in lat_jobs:
                 try:
-                    pixels = load_and_resize_for_bucket(meta)
-                    latents = encoders.encode_image(pixels)
-                    cs.save_payload(lat_path, {
-                        "latents": jnp.asarray(latents).astype(vae_dtype),
-                    }, _meta(root, meta, options, caption_mode))
+                    if n_frames > 1:
+                        from .image_prep import load_clip_for_bucket
+                        frames = load_clip_for_bucket(meta, n_frames)
+                        pixels = frames[0]
+                        latents = encoders.encode_clip(frames)
+                    else:
+                        pixels = load_and_resize_for_bucket(meta)
+                        latents = encoders.encode_image(pixels)
+                    payload = {"latents": jnp.asarray(latents).astype(vae_dtype)}
+                    if lineart_on:
+                        # cached at latent resolution (the reference caches a
+                        # 4x-oversampled map and area-downsamples it every
+                        # step, train_anima_repair.py:1112-1119; same math,
+                        # computed once); video clips mask from frame 0
+                        lat_h, lat_w = (int(latents.shape[-3]),
+                                        int(latents.shape[-2]))
+                        payload["lineart_mask"] = jnp.asarray(
+                            _lineart_mask_for(pixels, lat_h, lat_w))
+                    cs.save_payload(lat_path, payload,
+                                    _meta(root, meta, options, caption_mode))
                 except Exception as e:  # noqa: BLE001
                     print(f"[SKIP ANIMA VAE] {meta['ip'].name}: {e}")
 
@@ -342,6 +388,22 @@ def precompute_and_cache_anima(config, encoders: AnimaCacheEncoders | None = Non
         cs.save_index(cache_dir, {"version": ANIMA_CACHE_VERSION,
                                   "cache_options": options, "files": files})
         print(f"INFO: Cached {len(files)} Anima DiT items to {cache_dir}")
+
+
+def _lineart_mask_for(pixels_hwc: "np.ndarray", lat_h: int,
+                      lat_w: int) -> "np.ndarray":
+    """(lat_h, lat_w) fp32 line-art detail mask in [0, 1] from the already
+    bucket-resized [-1, 1] pixels (semantic_maps Laplacian detail map,
+    area-reduced from the 4x oversampled grid)."""
+    import cv2
+    from PIL import Image
+
+    from ..tools.semantic_maps import generate_lineart_loss_map
+    u8 = np.clip((np.asarray(pixels_hwc, np.float32) + 1.0) * 127.5,
+                 0, 255).astype(np.uint8)
+    over = generate_lineart_loss_map(Image.fromarray(u8), lat_h, lat_w)
+    return cv2.resize(over[0], (lat_w, lat_h),
+                      interpolation=cv2.INTER_AREA).astype(np.float32)
 
 
 def _meta(root, meta, options, caption_mode, caption=None, caption_type=None):
@@ -442,8 +504,12 @@ class AnimaLatentDataset:
                 t5_ids, te_meta.get("caption", ""), self.config)
             padded = np.zeros(context_tokens, np.int32)
             padded[: min(len(t5_ids), context_tokens)] = t5_ids[:context_tokens]
-            return {"latents": latents, "prompt_emb": prompt_emb,
-                    "t5xxl_ids": padded}
+            sample = {"latents": latents, "prompt_emb": prompt_emb,
+                      "t5xxl_ids": padded}
+            if "lineart_mask" in lat:
+                sample["lineart_mask"] = np.asarray(lat["lineart_mask"],
+                                                    np.float32)
+            return sample
         except Exception as e:  # noqa: BLE001
             print(f"[ANIMA DATASET] Failed to load item {packed_index}: {e}")
             return None
@@ -452,8 +518,12 @@ class AnimaLatentDataset:
         samples = [s for s in (self.fetch(i) for i in packed_batch) if s]
         if not samples:
             return None
-        return {
+        batch = {
             "latents": np.stack([s["latents"] for s in samples]),
             "prompt_emb": np.stack([s["prompt_emb"] for s in samples]),
             "t5xxl_ids": np.stack([s["t5xxl_ids"] for s in samples]),
         }
+        if all("lineart_mask" in s for s in samples):
+            batch["lineart_mask"] = np.stack(
+                [s["lineart_mask"] for s in samples])
+        return batch

@@ -44,10 +44,34 @@ def flowmatch_noise_and_target(latents: jax.Array, noise: jax.Array,
 
 
 def weighted_flowmatch_mse(pred: jax.Array, target: jax.Array,
-                           weights: jax.Array) -> jax.Array:
+                           weights: jax.Array,
+                           sample_mask: jax.Array | None = None,
+                           spatial_mask: jax.Array | None = None,
+                           spatial_strength: float = 0.5) -> jax.Array:
+    """Flow-matching MSE x per-sample ticket weight, then mean.
+
+    ``spatial_mask`` (B, H, W) in [0, 1] boosts per-pixel loss by
+    ``1 + mask * strength`` — the repair trainer's cached line-art detail
+    map (parity: /root/reference/scripts/experimental/
+    train_anima_repair.py:2026-2036).  ``sample_mask`` (B,) zeroes padded
+    samples on dp meshes; the mean divides by the real count.
+    """
     diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
-    per_sample = jnp.mean(diff.reshape(diff.shape[0], -1) ** 2, axis=1)
-    return jnp.mean(per_sample * weights.astype(jnp.float32))
+    sq = diff ** 2
+    if spatial_mask is not None and spatial_strength > 0.0:
+        m = jnp.clip(spatial_mask.astype(jnp.float32), 0.0, 1.0)
+        hw = sq.shape[-3:-1]  # NHWC or NTHWC error map
+        if m.shape[-2:] != hw:
+            m = jax.image.resize(m, m.shape[:-2] + hw, "linear")
+        if sq.ndim == 5:  # video: one mask per clip, broadcast over T
+            m = m[:, None]
+        sq = sq * (1.0 + m[..., None] * spatial_strength)
+    per_sample = jnp.mean(sq.reshape(sq.shape[0], -1), axis=1)
+    weighted = per_sample * weights.astype(jnp.float32)
+    if sample_mask is None:
+        return jnp.mean(weighted)
+    sm = sample_mask.astype(jnp.float32)
+    return jnp.sum(weighted * sm) / jnp.maximum(jnp.sum(sm), 1.0)
 
 
 def apply_t5_token_dropout(t5_ids: np.ndarray, captions, config,

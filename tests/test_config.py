@@ -18,7 +18,9 @@ def test_flat_defaults_complete():
     assert flat["TIMESTEP_ALLOCATION"] == {"bin_size": 100, "counts": []}
     assert flat["MAX_BUCKET_RESOLUTION"] == 1024
     # 79 reference keys + TENSOR_PARALLEL_SIZE (TPU extension)
-    assert len(schema.FLAT_KEYS) == 80
+    # + the two repair lineart-loss keys (module constants in the
+    # reference, train_anima_repair.py:97-98)
+    assert len(schema.FLAT_KEYS) == 82
 
 
 def test_defaults_are_deep_copied():
@@ -126,3 +128,20 @@ def test_resume_validation_raises():
     with pytest.raises(FileNotFoundError):
         RuntimeConfig({"RESUME_TRAINING": True, "RESUME_MODEL_PATH": "/nope",
                        "RESUME_STATE_PATH": "/nope"})
+
+
+def test_shipped_preset_assets_load():
+    """configs/*.json (the reference ships default + example presets;
+    /root/reference/configs/) must round-trip through the runtime config."""
+    from pathlib import Path
+
+    from aozora_sdxl_training_tpu.config.runtime import RuntimeConfig
+
+    configs = sorted(Path(__file__).resolve().parents[1].glob("configs/*.json"))
+    assert len(configs) >= 2, "expected shipped preset files in configs/"
+    for path in configs:
+        cfg = RuntimeConfig.from_preset_file(path,
+                                             validate_resume_paths=False)
+        assert cfg.BATCH_SIZE >= 1
+        assert cfg.PREDICTION_TYPE in ("epsilon", "v_prediction",
+                                       "rectified_flow")
