@@ -405,10 +405,12 @@ def dit_forward(params: Params, latents: jax.Array, timesteps: jax.Array,
     if remat == "conservative":
         # reference's selective checkpointing: keep the wide->narrow MLP
         # down-proj outputs resident, recompute the rest
-        # (train_anima.py:536-593 MUST_SAVE rule)
+        # (train_anima.py:536-593 MUST_SAVE rule).  Flash-attention outputs
+        # ride along so its backward skips the forward-kernel re-run.
         block_fn = jax.checkpoint(
             block_fn, static_argnums=(1,),
-            policy=jax.checkpoint_policies.save_only_these_names("mlp_down"))
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "mlp_down", "flash_out", "flash_lse"))
     elif remat:
         block_fn = jax.checkpoint(block_fn, static_argnums=(1,))
     for i in range(cfg.num_blocks):

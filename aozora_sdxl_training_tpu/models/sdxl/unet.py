@@ -169,7 +169,8 @@ def transformer2d(params: Params, prefix: str, x: jax.Array, context: jax.Array,
                   attn_impl: str) -> jax.Array:
     b, h, w, c = x.shape
     residual = x
-    hidden = group_norm(params, f"{prefix}.norm", x, groups=groups)
+    # diffusers Transformer2DModel uses GroupNorm eps=1e-6 (resnets use 1e-5)
+    hidden = group_norm(params, f"{prefix}.norm", x, groups=groups, eps=1e-6)
     hidden = hidden.reshape(b, h * w, c)
     hidden = linear(params, f"{prefix}.proj_in", hidden)
     for k in range(depth):
@@ -209,7 +210,15 @@ def dots_except_attention_logits(prim, *args, **params):
     everything else it saves is O(S*d) and cheap.  Refusing just the big
     square dots keeps the recompute limited to softmax+logits while the
     conv/projection outputs stay saved.
+
+    Flash-attention outputs (named "flash_out"/"flash_lse",
+    ops/flash_attention.py) are saved too: they are O(S*d), and keeping
+    them means the flash backward goes straight to its dq/dkv kernels
+    instead of re-running the forward kernel under remat.
     """
+    from jax._src.ad_checkpoint import name_p
+    if prim is name_p:
+        return params.get("name") in ("flash_out", "flash_lse")
     if prim is not jax.lax.dot_general_p:
         return jax.checkpoint_policies.dots_saveable(prim, *args, **params)
     lhs, rhs = args[:2]
@@ -279,14 +288,30 @@ def unet_forward(params: Params,
     add_emb = linear(params, "add_embedding.linear_2", jax.nn.silu(add_emb))
     temb = (temb + add_emb).astype(compute_dtype)
 
-    res_fn = _maybe_remat(
-        functools.partial(resnet_block, groups=groups, fused_gn=fused_gn),
-        remat)
+    # "<mode>_hires": rematerialize only the high-resolution units (where
+    # activations are big); low-res units (<= 32x32 latent tokens at 1024px)
+    # keep everything resident — their memory is small and skipping the
+    # recompute is pure speed
+    hires_only = isinstance(remat, str) and remat.endswith("_hires")
+    base_remat = remat[: -len("_hires")] if hires_only else remat
+    hires_tokens = 33 * 33
+
+    def unit_remat(h):
+        if hires_only and h.shape[1] * h.shape[2] < hires_tokens:
+            return False
+        return base_remat
+
+    def res_fn(p, prefix, h, t):
+        fn = _maybe_remat(
+            functools.partial(resnet_block, groups=groups, fused_gn=fused_gn),
+            unit_remat(h))
+        return fn(p, prefix, h, t)
 
     def tf2d_fn(p, prefix, h, ctx, depth, heads):
         fn = _maybe_remat(
             functools.partial(transformer2d, depth=depth, num_heads=heads,
-                              groups=groups, attn_impl=attn_impl), remat)
+                              groups=groups, attn_impl=attn_impl),
+            unit_remat(h))
         return fn(p, prefix, h, ctx)
 
     # -- down path --

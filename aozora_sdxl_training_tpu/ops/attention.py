@@ -30,9 +30,17 @@ def dot_product_attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
+FLASH_MIN_KV = 256
+
+
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
               impl: str = "xla", scale: float | None = None) -> jax.Array:
-    if impl == "flash":
+    if impl == "flash" and k.shape[1] >= FLASH_MIN_KV:
+        # short-KV cross attention (77 x caption chunks, 512-token adapter
+        # context) has tiny logits; XLA's fused path wins there while the
+        # flash kernel wins on the O(S^2) self-attention (measured on v5e,
+        # tools_dev/attn_probe.py: self-L2 4.1 ms flash vs 9.1 ms xla,
+        # cross-L2 1.7 vs 1.6 — so flash dispatches only at long KV)
         from .flash_attention import flash_attention
         return flash_attention(q, k, v, scale=scale)
     return dot_product_attention_xla(q, k, v, scale=scale)

@@ -30,6 +30,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -286,20 +287,33 @@ def _pick_blocks(sq: int, sk: int) -> tuple[int, int]:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_core(q3, k3, v3, scale, kv_valid, blocks):
-    out, _ = _flash_forward(q3, k3, v3, scale=scale, kv_valid=kv_valid,
-                            block_q=blocks[0], block_k=blocks[1])
-    return out
+    """Returns (out, lse).
+
+    ``lse`` is exposed as a REAL output (not just a VJP residual) so that
+    ``jax.checkpoint`` policies can save it by name: under remat, saving
+    (out, lse) means the backward never has to re-run the forward kernel —
+    it goes straight to the dq/dkv kernels.  The lse output carries no
+    gradient (its cotangent is ignored); callers must not feed it into the
+    loss."""
+    return _flash_forward(q3, k3, v3, scale=scale, kv_valid=kv_valid,
+                          block_q=blocks[0], block_k=blocks[1])
 
 
 def _flash_core_fwd(q3, k3, v3, scale, kv_valid, blocks):
     out, lse = _flash_forward(q3, k3, v3, scale=scale, kv_valid=kv_valid,
                               block_q=blocks[0], block_k=blocks[1])
-    return out, (q3, k3, v3, out, lse)
+    # name the residuals where remat's partial-eval sees them: a policy that
+    # saves these names lets the backward go straight to the dq/dkv kernels
+    # instead of re-running the forward kernel
+    out = jax.ad_checkpoint.checkpoint_name(out, "flash_out")
+    lse = jax.ad_checkpoint.checkpoint_name(lse, "flash_lse")
+    return (out, lse), (q3, k3, v3, out, lse)
 
 
 def _flash_core_bwd(scale, kv_valid, blocks, res, g):
     q3, k3, v3, out, lse = res
-    dq, dk, dv = _flash_backward(q3, k3, v3, out, lse, g, scale=scale,
+    g_out, _ = g  # lse is a statistics output; no gradient flows through it
+    dq, dk, dv = _flash_backward(q3, k3, v3, out, lse, g_out, scale=scale,
                                  kv_valid=kv_valid, block_q=blocks[0],
                                  block_k=blocks[1])
     return dq, dk, dv
@@ -328,6 +342,6 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     k3 = to3(k, sk_pad)
     v3 = to3(v, sk_pad)
 
-    out = _flash_core(q3, k3, v3, scale, skv, (block_q, block_k))
+    out, _ = _flash_core(q3, k3, v3, scale, skv, (block_q, block_k))
     out = out[:, :sq].reshape(b, h, sq, d)
     return jnp.transpose(out, (0, 2, 1, 3))

@@ -48,10 +48,14 @@ def main() -> None:
     batch = 1
     latent_hw = 128  # 1024px
     seq = 77
-    # Measured on v5e r1: XLA's fused attention beats the Pallas flash kernel
-    # at SDXL shapes (head_dim 64 underutilizes the MXU in the custom kernel):
-    # xla 353ms/38.6% MFU vs flash 445ms/26.3% at identical config.
+    # Measured on v5e r1/r2: XLA's fused attention beats the Pallas flash
+    # kernel at SDXL shapes (xla 353ms vs flash 445ms under full remat;
+    # 319ms vs 388ms under dots_no_logits).
     attn_impl = "xla"
+    # r2 sweep: remat policy 'dots_no_logits' (save MXU outputs except the
+    # O(S^2) attention logits) beats full remat 318.9ms vs 353.5ms at b1;
+    # batch=2 is worse per-image under either policy (0.355/0.329 s/img).
+    remat = "dots_no_logits"
 
     print(f"bench: backend={jax.default_backend()} batch={batch} "
           f"latent={latent_hw} attn={attn_impl}", file=sys.stderr)
@@ -63,7 +67,7 @@ def main() -> None:
             "v_prediction", latents, noise, tickets)
         pred = unet_forward(params, noisy.astype(jnp.bfloat16), t_cond, embeds,
                             pooled, time_ids, cfg=cfg, attn_impl=attn_impl,
-                            compute_dtype=jnp.bfloat16, remat=True)
+                            compute_dtype=jnp.bfloat16, remat=remat)
         return objectives.weighted_mse_loss(pred, target, tickets, None)
 
     value_and_grad = jax.value_and_grad(loss_fn)

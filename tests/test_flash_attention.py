@@ -102,3 +102,30 @@ def test_flash_head_dim_128_anima_shape():
     ref = dot_product_attention_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_flash_grads_under_remat_named_save_policy():
+    """Under jax.checkpoint with the dots_no_logits policy (which saves the
+    named flash_out/flash_lse kernel outputs), gradients must equal the
+    un-checkpointed ones — the saved-residual fast path is numerics-neutral."""
+    from aozora_sdxl_training_tpu.models.sdxl.unet import (
+        dots_except_attention_logits)
+    from aozora_sdxl_training_tpu.ops.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (1, 256, 2, 64), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 384, 2, 64),
+                          jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 384, 2, 64),
+                          jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    g_plain = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g_remat = jax.grad(
+        jax.checkpoint(loss, policy=dots_except_attention_logits),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_plain, g_remat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -226,3 +226,38 @@ def test_remat_policy_gradients_match(tiny_setup):
     assert cross is True
     conv = dots_except_attention_logits(jax.lax.conv_general_dilated_p)
     assert conv is True
+
+
+def test_hires_mixed_remat_matches_plain_gradients():
+    """'dots_no_logits_hires' (remat only the big high-res units) must be
+    numerics-neutral vs no remat."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = arch.TINY
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    # 40x40 latents: top level (40x40=1600 tokens) remats, deeper levels
+    # (20x20, 10x10) stay resident under the 33x33 threshold
+    latents = jax.random.normal(key, (1, 40, 40, 4), jnp.float32)
+    embeds = jax.random.normal(jax.random.fold_in(key, 1),
+                               (1, 7, cfg.cross_attention_dim), jnp.float32)
+    pooled = jax.random.normal(jax.random.fold_in(key, 2),
+                               (1, cfg.pooled_projection_dim), jnp.float32)
+    time_ids = jnp.ones((1, 6), jnp.float32)
+
+    def loss(params, mode):
+        out = unet_forward(params, latents, jnp.asarray([3.0]), embeds,
+                           pooled, time_ids, cfg=cfg, attn_impl="xla",
+                           compute_dtype=jnp.float32, remat=mode)
+        return jnp.sum(out ** 2)
+
+    g_plain = jax.grad(lambda p: loss(p, False))(params)
+    g_mixed = jax.grad(lambda p: loss(p, "dots_no_logits_hires"))(params)
+    for k in ("conv_in.weight", "mid_block.resnets.0.conv1.weight",
+              "up_blocks.1.attentions.0.proj_out.weight"):
+        # remat changes recompute/fusion order; fp32 noise through the
+        # deep net reaches ~3e-3 relative — wiring bugs would be O(1) off
+        np.testing.assert_allclose(np.asarray(g_plain[k]),
+                                   np.asarray(g_mixed[k]),
+                                   rtol=5e-3, atol=1e-4, err_msg=k)
