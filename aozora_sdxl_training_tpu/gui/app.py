@@ -102,6 +102,307 @@ class ChartCanvas:
             c.create_line(*coords, fill=s.color, width=s.linewidth, dash=dash)
 
 
+class EditorCanvas:
+    """tk.Canvas bound to a CurveEditorViewModel / HistogramEditorViewModel.
+
+    Pure event forwarding + primitive rendering; every interaction rule
+    lives in the view-model (curve_editor.py) where it is unit-tested.
+    """
+
+    def __init__(self, parent, vm, theme=THEME, on_change=None,
+                 histogram=False):
+        import tkinter as tk
+
+        self.vm = vm
+        self.theme = theme
+        self.on_change = on_change or (lambda: None)
+        self.histogram = histogram
+        self.canvas = tk.Canvas(parent, width=vm.width, height=vm.height,
+                                bg=theme.canvas, highlightthickness=1,
+                                highlightbackground=theme.border)
+        c = self.canvas
+        c.bind("<ButtonPress-1>", self._press)
+        c.bind("<B1-Motion>", self._drag)
+        c.bind("<ButtonRelease-1>", self._release)
+        c.bind("<Double-Button-1>", self._double)
+        c.bind("<ButtonPress-3>", self._right)
+        c.bind("<Configure>", self._configure)
+        self.redraw()
+
+    def pack(self, **kw):
+        self.canvas.pack(**kw)
+
+    def _configure(self, ev):
+        self.vm.resize(ev.width, ev.height)
+        self.redraw()
+
+    def _press(self, ev):
+        self.vm.press(ev.x, ev.y)
+        self.redraw()
+
+    def _drag(self, ev):
+        if self.vm.drag(ev.x, ev.y):
+            self.on_change()
+            self.redraw()
+
+    def _release(self, _ev):
+        self.vm.release()
+        self.on_change()
+        self.redraw()
+
+    def _double(self, ev):
+        if not self.histogram and self.vm.double_press(ev.x, ev.y) >= 0:
+            self.on_change()
+            self.redraw()
+
+    def _right(self, ev):
+        if not self.histogram and self.vm.right_press(ev.x, ev.y):
+            self.on_change()
+            self.redraw()
+
+    def redraw(self):
+        c = self.canvas
+        c.delete("all")
+        t = self.theme
+        if self.histogram:
+            for x0, y0, x1, y1 in self.vm.bars_px():
+                c.create_rectangle(x0, y0, x1, y1, fill=t.accent,
+                                   outline=t.border)
+            return
+        for py, label in self.vm.y_ticks():
+            c.create_line(self.vm.pad_l, py, self.vm.width - self.vm.pad_r,
+                          py, fill=t.border)
+            c.create_text(self.vm.pad_l - 4, py, text=label, anchor="e",
+                          fill=t.text_muted, font=("TkDefaultFont", 7))
+        line = self.vm.polyline_px()
+        if len(line) >= 2:
+            coords = [v for xy in line for v in xy]
+            c.create_line(*coords, fill=t.accent, width=2)
+        for hx, hy, sel in self.vm.handles_px():
+            r = 5 if sel else 4
+            c.create_oval(hx - r, hy - r, hx + r, hy + r,
+                          fill=(t.warning if sel else t.success),
+                          outline=t.border)
+
+
+class CurveEditorWindow:
+    """Toplevel with the three curve editors (LR / loss weight / timestep
+    histogram).  Apply writes the same flat keys the reference's Qt editors
+    persist: LR_CUSTOM_CURVE, TIMESTEP_LOSS_WEIGHT_CURVE,
+    TIMESTEP_ALLOCATION."""
+
+    def __init__(self, parent, flat: dict, theme=THEME, on_apply=None):
+        import tkinter as tk
+        from tkinter import ttk
+
+        from .curve_editor import (CurveEditorViewModel,
+                                   HistogramEditorViewModel)
+        from .curve_models import (LRCurveModel, LossWeightCurveModel,
+                                   TimestepHistogramModel)
+
+        self.flat = flat
+        self.on_apply = on_apply or (lambda: None)
+        self.win = tk.Toplevel(parent)
+        self.win.title("Curve editors")
+        self.win.configure(bg=theme.window)
+
+        min_lr = float(flat.get("LR_GRAPH_MIN", 0.0)) or 1e-9
+        max_lr = float(flat.get("LR_GRAPH_MAX", 1e-6)) or 1e-6
+        self.lr_model = LRCurveModel(flat.get("LR_CUSTOM_CURVE"),
+                                     min_lr=min_lr, max_lr=max_lr)
+        self.lw_model = LossWeightCurveModel(
+            flat.get("TIMESTEP_LOSS_WEIGHT_CURVE"))
+        alloc = flat.get("TIMESTEP_ALLOCATION") or {}
+        self.ts_model = TimestepHistogramModel(
+            bin_size=int(alloc.get("bin_size", 100)) or 100,
+            max_tickets=max(int(flat.get("MAX_TRAIN_STEPS", 1000)), 1))
+        self.ts_model.set_allocation(alloc)
+
+        nb = ttk.Notebook(self.win)
+        nb.pack(fill="both", expand=True, padx=4, pady=4)
+
+        tabs = [
+            ("LR curve (log y)", CurveEditorViewModel(
+                self.lr_model, y_scale="log"), False),
+            ("Loss weight", CurveEditorViewModel(
+                self.lw_model, y_min=0.0, y_max=2.0), False),
+            ("Timestep histogram", HistogramEditorViewModel(self.ts_model),
+             True),
+        ]
+        self.canvases = []
+        for label, vm, hist in tabs:
+            frame = ttk.Frame(nb)
+            nb.add(frame, text=label)
+            ec = EditorCanvas(frame, vm, theme, histogram=hist)
+            ec.pack(fill="both", expand=True)
+            self.canvases.append(ec)
+            if hist:
+                row = ttk.Frame(frame)
+                row.pack(fill="x")
+                for mode in ("Uniform", "Wave", "Logit-Normal", "Beta",
+                             "Odds-Scaled (Z-Image)"):
+                    ttk.Button(row, text=mode, command=(
+                        lambda m=mode, e=ec: self._ts_preset(m, e))
+                    ).pack(side="left", padx=1)
+            elif vm.model is self.lw_model:
+                row = ttk.Frame(frame)
+                row.pack(fill="x")
+                ttk.Button(row, text="Bell", command=(
+                    lambda e=ec: self._lw_preset("bell", e))).pack(
+                    side="left", padx=1)
+                ttk.Button(row, text="Min-SNR-like", command=(
+                    lambda e=ec: self._lw_preset("min_snr", e))).pack(
+                    side="left", padx=1)
+            else:
+                row = ttk.Frame(frame)
+                row.pack(fill="x")
+                for mode in ("Constant", "Linear", "Cosine"):
+                    ttk.Button(row, text=mode, command=(
+                        lambda m=mode, e=ec: self._lr_preset(m, e))
+                    ).pack(side="left", padx=1)
+        ttk.Label(self.win, text="drag = move point | double-click = add | "
+                                 "right-click = remove",
+                  style="Muted.TLabel").pack(anchor="w", padx=6)
+        ttk.Button(self.win, text="Apply", style="Accent.TButton",
+                   command=self.apply).pack(pady=4)
+
+    def _lr_preset(self, mode, ec):
+        self.lr_model.set_standard_preset(mode)
+        ec.redraw()
+
+    def _lw_preset(self, which, ec):
+        if which == "bell":
+            self.lw_model.apply_bell_preset()
+        else:
+            self.lw_model.apply_min_snr_like_preset()
+        ec.redraw()
+
+    def _ts_preset(self, mode, ec):
+        if mode == "Uniform":
+            self.ts_model.set_bin_size(self.ts_model.bin_size)
+        else:
+            self.ts_model.apply_distribution(mode)
+        ec.redraw()
+
+    def apply(self):
+        self.flat["LR_CUSTOM_CURVE"] = self.lr_model.get_points()
+        self.flat["TIMESTEP_LOSS_WEIGHT_CURVE"] = self.lw_model.get_points()
+        self.flat["TIMESTEP_ALLOCATION"] = self.ts_model.get_allocation()
+        self.on_apply()
+        self.win.destroy()
+
+
+class DatasetManagerWindow:
+    """Toplevel with dataset cards: path, repeats, image count, first-image
+    thumbnail (tk PhotoImage, PNG/GIF only), per-dataset cache clearing —
+    the tkinter rendering of DatasetManager (gui.py:2786-3567)."""
+
+    def __init__(self, parent, manager, config_provider, theme=THEME,
+                 on_change=None, log=print):
+        import tkinter as tk
+        from tkinter import ttk
+
+        self.tk = tk
+        self.manager = manager
+        self.config_provider = config_provider
+        self.on_change = on_change or (lambda: None)
+        self.log = log
+        self.theme = theme
+        self.win = tk.Toplevel(parent)
+        self.win.title("Datasets")
+        self.win.configure(bg=theme.window)
+        bar = ttk.Frame(self.win)
+        bar.pack(fill="x", padx=4, pady=2)
+        ttk.Button(bar, text="Add folder...", command=self._add).pack(
+            side="left")
+        ttk.Button(bar, text="Sort by count", command=(
+            lambda: self._sort("count_desc"))).pack(side="left", padx=2)
+        ttk.Button(bar, text="Sort by name", command=(
+            lambda: self._sort("name"))).pack(side="left")
+        self.cards = ttk.Frame(self.win)
+        self.cards.pack(fill="both", expand=True, padx=4, pady=2)
+        self._thumbs = []  # keep PhotoImage refs alive
+        self.rebuild()
+
+    def _add(self):
+        from tkinter import filedialog
+        path = filedialog.askdirectory(parent=self.win)
+        if path:
+            self.manager.add(path)
+            self._changed()
+
+    def _sort(self, key):
+        self.manager.sort(key)
+        self._changed()
+
+    def _changed(self):
+        self.on_change()
+        self.rebuild()
+
+    def rebuild(self):
+        from tkinter import ttk
+        for child in self.cards.winfo_children():
+            child.destroy()
+        self._thumbs.clear()
+        cfg = self.config_provider()
+        for i, entry in enumerate(self.manager.datasets):
+            card = ttk.Frame(self.cards, relief="groove", borderwidth=1,
+                             padding=4)
+            card.pack(fill="x", pady=2)
+            thumb = self._thumbnail(entry)
+            if thumb is not None:
+                self._thumbs.append(thumb)
+                self.tk.Label(card, image=thumb,
+                              bg=self.theme.canvas).pack(side="left", padx=4)
+            info = ttk.Frame(card)
+            info.pack(side="left", fill="x", expand=True)
+            ttk.Label(info, text=entry.path).pack(anchor="w")
+            ttk.Label(info, style="Muted.TLabel",
+                      text=f"{entry.image_count} images x {entry.repeats} "
+                           f"repeats = {entry.total_with_repeats}").pack(
+                anchor="w")
+            spin = ttk.Spinbox(card, from_=1, to=999, width=5, command=None)
+            spin.set(entry.repeats)
+            spin.configure(command=lambda i=i, s=spin: self._set_repeats(i, s))
+            spin.pack(side="left", padx=4)
+            cache_on = self.manager.cache_exists(i, cfg)
+            ttk.Button(card, text=("Clear cache" if cache_on else "no cache"),
+                       state=("normal" if cache_on else "disabled"),
+                       command=lambda i=i: self._clear(i)).pack(
+                side="left", padx=2)
+            ttk.Button(card, text="Remove",
+                       style="Danger.TButton",
+                       command=lambda i=i: self._remove(i)).pack(
+                side="left", padx=2)
+
+    def _thumbnail(self, entry):
+        for img in entry.images[:4]:
+            if img.suffix.lower() in (".png", ".gif"):
+                try:
+                    photo = self.tk.PhotoImage(file=str(img))
+                    f = max(1, photo.width() // 64, photo.height() // 64)
+                    return photo.subsample(f, f)
+                except Exception:  # noqa: BLE001 — bad image, skip preview
+                    continue
+        return None
+
+    def _set_repeats(self, i, spin):
+        try:
+            self.manager.set_repeats(i, int(spin.get()))
+        except ValueError:
+            return
+        self._changed()
+
+    def _remove(self, i):
+        self.manager.remove([i])
+        self._changed()
+
+    def _clear(self, i):
+        for path in self.manager.clear_cache(i, self.config_provider()):
+            self.log(f"[gui] cleared cache {path}")
+        self.rebuild()
+
+
 class TrainingApp:
     def __init__(self, root, preset_path: str | None = None):
         import tkinter as tk
@@ -169,6 +470,10 @@ class TrainingApp:
                    command=self.apply_timestep_preset).pack(side="left", padx=2)
         ttk.Button(curves, text="Bell loss wt",
                    command=self.apply_bell_loss_weight).pack(side="left", padx=2)
+        ttk.Button(curves, text="Edit Curves...",
+                   command=self.open_curve_editor).pack(side="left", padx=6)
+        ttk.Button(curves, text="Datasets...",
+                   command=self.open_dataset_manager).pack(side="left")
 
         # buttons
         btns = ttk.Frame(top)
@@ -280,6 +585,21 @@ class TrainingApp:
         model.apply_bell_preset()
         self.flat["TIMESTEP_LOSS_WEIGHT_CURVE"] = model.get_points()
         self._log_line("[gui] timestep loss-weight curve -> bell preset")
+
+    def open_curve_editor(self):
+        CurveEditorWindow(
+            self.root, self.flat, self.theme,
+            on_apply=lambda: self._log_line(
+                "[gui] curves applied (LR / loss weight / timesteps)"))
+
+    def open_dataset_manager(self):
+        def on_change():
+            self.flat["INSTANCE_DATASETS"] = self.datasets.get_config()
+            self.dataset_var.set(self._dataset_summary())
+
+        DatasetManagerWindow(self.root, self.datasets, self.collect_flat,
+                             self.theme, on_change=on_change,
+                             log=self._log_line)
 
     def _dataset_summary(self) -> str:
         n = len(self.datasets.datasets)
