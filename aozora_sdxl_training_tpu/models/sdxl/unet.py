@@ -294,7 +294,12 @@ def unet_forward(params: Params,
     # recompute is pure speed
     hires_only = isinstance(remat, str) and remat.endswith("_hires")
     base_remat = remat[: -len("_hires")] if hires_only else remat
-    hires_tokens = 33 * 33
+    # units below this token count keep all activations resident
+    # (AOZORA_REMAT_HIRES_TOKENS tunes the speed/HBM trade; default keeps
+    # the 32x32 level + mid resident at 1024px)
+    import os
+    hires_tokens = int(os.environ.get("AOZORA_REMAT_HIRES_TOKENS",
+                                      str(33 * 33)))
 
     def unit_remat(h):
         if hires_only and h.shape[1] * h.shape[2] < hires_tokens:

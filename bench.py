@@ -52,10 +52,11 @@ def main() -> None:
     # kernel at SDXL shapes (xla 353ms vs flash 445ms under full remat;
     # 319ms vs 388ms under dots_no_logits).
     attn_impl = "xla"
-    # r2 sweep: remat policy 'dots_no_logits' (save MXU outputs except the
-    # O(S^2) attention logits) beats full remat 318.9ms vs 353.5ms at b1;
-    # batch=2 is worse per-image under either policy (0.355/0.329 s/img).
-    remat = "dots_no_logits"
+    # r2 sweep (v5e-1, 1024px b1): full remat 353.5ms > dots_no_logits
+    # 318.9ms > dots_no_logits_hires 305.2ms (remat only the high-res
+    # units; <=32x32-token units keep activations resident).  batch=2 is
+    # worse per-image under every policy.
+    remat = "dots_no_logits_hires"
 
     print(f"bench: backend={jax.default_backend()} batch={batch} "
           f"latent={latent_hw} attn={attn_impl}", file=sys.stderr)
@@ -111,21 +112,40 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
     s_per_image = dt / batch
 
-    # MFU from XLA's own cost model
-    mfu = None
+    # Two MFU accountings from XLA's cost model:
+    # * executed: flops the step actually runs (remat recompute counts) —
+    #   hardware utilization;
+    # * model: ideal fwd+bwd flops (3x the forward) / time — the standard
+    #   ML definition, invariant to the remat policy.
+    mfu = model_mfu = None
+    peak = peak_flops_for(jax.devices()[0])
     try:
         cost = grad_fn.lower(*args).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
         if flops > 0:
-            mfu = flops / dt / peak_flops_for(jax.devices()[0])
+            mfu = flops / dt / peak
     except Exception as e:
         print(f"bench: cost analysis unavailable: {e}", file=sys.stderr)
-    if mfu is not None:
-        print(f"bench: step={dt*1e3:.1f}ms  s/img={s_per_image:.4f}  "
-              f"img/s/chip={1.0 / s_per_image:.2f}  MFU~{mfu:.1%}",
-              file=sys.stderr)
+    try:
+        fwd = jax.jit(lambda p, l, t, e, pl_, ti: unet_forward(
+            p, l, t, e, pl_, ti, cfg=cfg, attn_impl=attn_impl,
+            compute_dtype=jnp.bfloat16, remat=False))
+        fcost = fwd.lower(params, latents.astype(jnp.bfloat16),
+                          jnp.full((batch,), 500.0, jnp.float32), embeds,
+                          pooled, time_ids).compile().cost_analysis()
+        if isinstance(fcost, list):
+            fcost = fcost[0]
+        fwd_flops = float(fcost.get("flops", 0.0))
+        if fwd_flops > 0:
+            model_mfu = 3.0 * fwd_flops / dt / peak
+    except Exception as e:
+        print(f"bench: fwd cost analysis unavailable: {e}", file=sys.stderr)
+    print(f"bench: step={dt*1e3:.1f}ms  s/img={s_per_image:.4f}  "
+          f"img/s/chip={1.0 / s_per_image:.2f}  "
+          f"MFU(executed)~{(mfu or 0):.1%}  MFU(model)~{(model_mfu or 0):.1%}",
+          file=sys.stderr)
 
     # secondary metric: fused optimizer-step time on an attention-only
     # trainable subset (reference: ~15 s CPU-offloaded, readme.md:14)
@@ -162,12 +182,17 @@ def main() -> None:
     except Exception as e:
         print(f"bench: optimizer-step timing skipped: {e}", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "sdxl_1024px_vpred_full_unet_microstep_s_per_image",
         "value": round(s_per_image, 5),
         "unit": "s/image",
         "vs_baseline": round(REFERENCE_S_PER_IMAGE / s_per_image, 3),
-    }))
+    }
+    if mfu is not None:
+        out["mfu_executed_flops"] = round(mfu, 4)
+    if model_mfu is not None:
+        out["mfu_model_flops"] = round(model_mfu, 4)
+    print(json.dumps(out))
 
 
 class _Watchdog:

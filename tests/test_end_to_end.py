@@ -171,3 +171,47 @@ def test_resume_continues(e2e_run, capsys):
     assert "RESUMING TRAINING SESSION" in captured
     assert "Restored optimizer state" in captured
     assert (out / "e2e_resume.safetensors").exists()
+
+
+def test_dp8_batchsize1_matches_single_device_numerics(tmp_path, monkeypatch):
+    """VERDICT r1 #3: per-chip batch semantics — BATCH_SIZE=1 on a dp=8 mesh
+    (global batch 8, ragged batches padded + loss-masked) must produce the
+    same trained weights as a single-device run at BATCH_SIZE=8."""
+    from unittest import mock
+
+    def run(subdir, batch_size, devices_env):
+        root = tmp_path / subdir
+        root.mkdir()
+        ckpt = root / "base.safetensors"
+        _build_checkpoint(ckpt)
+        data_root = root / "data"
+        data_root.mkdir()
+        _build_cache(data_root, cs.sdxl_cache_dir_name(False))
+        config = _make_config(root, BATCH_SIZE=batch_size,
+                              MAX_TRAIN_STEPS=3,
+                              GRADIENT_ACCUMULATION_STEPS=1,
+                              SAVE_EVERY_N_STEPS=0,
+                              MIXED_PRECISION="bfloat16")
+        if devices_env:
+            monkeypatch.setenv("AOZORA_DEVICES", devices_env)
+        else:
+            monkeypatch.delenv("AOZORA_DEVICES", raising=False)
+        with mock.patch(
+                "aozora_sdxl_training_tpu.train.trainer.check_if_caching_needed",
+                return_value=False):
+            run_sdxl_training(config, unet_cfg=TINY)
+        return load_all(root / "out" / "e2e_run.safetensors")
+
+    dp8 = run("dp8", batch_size=1, devices_env=None)     # 8 virtual devices
+    single = run("one", batch_size=8, devices_env="1")   # same global batch
+    assert dp8.keys() == single.keys()
+    diffs = []
+    for key, a in dp8.items():
+        b = single[key]
+        a32 = np.asarray(a, dtype=np.float32)
+        b32 = np.asarray(b, dtype=np.float32)
+        scale = np.maximum(np.abs(b32), 1e-3)
+        diffs.append(float((np.abs(a32 - b32) / scale).max()))
+    # bf16 compute + cross-mesh reduction order: small float noise only;
+    # a batching/padding/noise-keying bug would diverge by O(1)
+    assert max(diffs) < 0.05, f"max rel diff {max(diffs):.4f}"

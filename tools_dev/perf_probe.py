@@ -20,6 +20,9 @@ batch = int(args.get("batch", 1))
 attn = args.get("attn", "flash")
 latent = int(args.get("latent", 128))
 fused_gn = bool(int(args.get("fused_gn", 0)))
+if "hires" in args:
+    import os
+    os.environ["AOZORA_REMAT_HIRES_TOKENS"] = str(int(args["hires"]))
 
 from aozora_sdxl_training_tpu.models.sdxl.arch import SDXL_BASE
 from aozora_sdxl_training_tpu.models.sdxl.unet import init_params, unet_forward
@@ -82,6 +85,7 @@ except Exception:
 mfu = flops / dt / 197e12 if flops else float("nan")
 mem = jax.devices()[0].memory_stats() or {}
 peak = mem.get("peak_bytes_in_use", 0) / 1e9
-print(f"remat={remat} batch={batch} attn={attn} latent={latent} fused_gn={fused_gn}: "
+hires_lbl = args.get("hires", "-")
+print(f"remat={remat} batch={batch} attn={attn} latent={latent} fused_gn={fused_gn} hires={hires_lbl}: "
       f"{dt*1e3:.1f}ms/step {dt/batch:.4f}s/img MFU~{mfu:.1%} "
       f"peakHBM={peak:.1f}GB", flush=True)
