@@ -62,6 +62,22 @@ def main(argv=None) -> None:
     if not _preset_sets_lineart_flag(argv):
         config.ANIMA_REPAIR_LINEART_LOSS_ENABLED = True
 
+    # BF16 control arm: same objective (incl. the line-art-masked loss),
+    # no quantization projection — the comparison baseline for repair
+    # efficacy (reference AnimaBFloat16RepairController,
+    # train_anima_repair.py:1647-1676)
+    fmt = str(getattr(config, "ANIMA_REPAIR_TARGET_FORMAT", "auto")).lower()
+    if fmt in ("bf16", "bfp16", "bfloat16"):
+        print("=" * 56)
+        print("INFO: BF16 repair-control training enabled.")
+        print("INFO: Line-art and flow-matching losses remain identical to "
+              "quant repair.")
+        print("INFO: Optimizer updates are not projected into quantized "
+              "codes.")
+        print("=" * 56)
+        run_anima_training(config)
+        return
+
     quant_state = load_all(config.DIT_PATH)
     stripped, prefix = strip_prefix(quant_state, DIT_PREFIXES)
     controller = ProjectedQuantController(stripped)

@@ -157,6 +157,11 @@ def _fields() -> list[Field]:
               nested_name="repair_lineart_loss_enabled"),
         Field("ANIMA_REPAIR_LINEART_LOSS_STRENGTH", 0.5, ANIMA_ONLY,
               nested_name="repair_lineart_loss_strength"),
+        # "auto" = projected-quant when comfy_quant records exist;
+        # "bfloat16" = the full-precision control arm (identical losses, no
+        # projection — reference train_anima_repair.py:1647-1676)
+        Field("ANIMA_REPAIR_TARGET_FORMAT", "auto", ANIMA_ONLY,
+              nested_name="repair_target_format"),
         Field("REBUILD_CACHE", False, SHARED),
         # --- VAE ---
         Field("VAE_NORMALIZATION_MODE", "scalar", SHARED),

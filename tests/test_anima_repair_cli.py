@@ -97,3 +97,71 @@ def test_repair_cli_end_to_end(tmp_path, monkeypatch):
     ctl = ProjectedQuantController(stripped)
     assert len(ctl.controlled_keys) == n_quant
     ctl.dequantized_params()  # expands without error
+
+
+def test_repair_bf16_control_arm(tmp_path, capsys):
+    """repair_target_format=bf16: identical objective, no projection —
+    the reference's full-precision control (train_anima_repair.py:1647)."""
+    import jax.numpy as jnp
+    from unittest import mock
+    cfg = dit_mod.TINY_ANIMA
+
+    params = dit_mod.init_params(cfg, jax.random.PRNGKey(1))
+    torch_state = {k: np.asarray(v) for k, v in
+                   dit_mod.params_to_torch_state(params).items()}
+    ckpt = tmp_path / "dit_base.safetensors"
+    write_streaming(ckpt, {f"dit.{k}": v for k, v in torch_state.items()})
+
+    data = tmp_path / "data"
+    cache_dir = data / ".precomputed_anima_dit_cache"
+    cache_dir.mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    files = []
+    for i in range(2):
+        te = cs.te_path_for(cache_dir, f"i{i}")
+        lat = cs.lat_path_for(cache_dir, f"i{i}")
+        cs.save_payload(te, {
+            "prompt_emb": jnp.asarray(rng.normal(size=(8, cfg.adapter_source_dim)),
+                                      jnp.float32),
+            "t5xxl_ids": jnp.asarray(rng.integers(1, cfg.adapter_vocab, 8),
+                                     jnp.int32)}, {})
+        cs.save_payload(lat, {
+            "latents": jnp.asarray(rng.normal(size=(6, 6, cfg.in_channels)) * 0.3,
+                                   jnp.float32)}, {})
+        files.append({"te_path": str(te), "lat_path": str(lat),
+                      "relative_path": f"i{i}.png", "original_size": [48, 48],
+                      "scaled_size": [48, 48], "target_size": [48, 48],
+                      "crop_coords": [0, 0], "bucket_variant_index": 0})
+    cs.save_index(cache_dir, {"version": 6, "cache_options": {}, "files": files})
+
+    preset = {
+        "active_mode": "anima",
+        "anima": {
+            "anima_dit_model_path": str(ckpt),
+            "anima_output_dir": str(tmp_path / "out"),
+            "anima_output_name": "control",
+            "anima_instance_datasets": [{"path": str(data), "repeats": 1}],
+            "anima_max_train_steps": 2,
+            "anima_batch_size": 1,
+            "anima_gradient_accumulation_steps": 1,
+            "anima_save_every_n_steps": 0,
+            "anima_seed": 5,
+            "anima_repair_target_format": "bf16",
+        },
+    }
+    preset_path = tmp_path / "preset.json"
+    preset_path.write_text(json.dumps(preset))
+
+    from aozora_sdxl_training_tpu.cli import train_anima_repair
+    with mock.patch(
+            "aozora_sdxl_training_tpu.train.anima_trainer."
+            "check_if_anima_caching_needed", return_value=False):
+        train_anima_repair.main(["--config", str(preset_path)])
+    captured = capsys.readouterr().out
+    assert "BF16 repair-control training enabled" in captured
+
+    out = tmp_path / "out" / "control.safetensors"
+    assert out.exists()
+    saved = load_all(out)
+    assert not any(k.endswith(".comfy_quant") for k in saved)  # not packed
+    assert (tmp_path / "out" / "repaired_quantized.safetensors").exists() is False
