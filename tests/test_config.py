@@ -17,10 +17,10 @@ def test_flat_defaults_complete():
     assert flat["RAVEN_PARAMS"]["debias_strength"] == 0.3
     assert flat["TIMESTEP_ALLOCATION"] == {"bin_size": 100, "counts": []}
     assert flat["MAX_BUCKET_RESOLUTION"] == 1024
-    # 79 reference keys + TENSOR_PARALLEL_SIZE (TPU extension)
-    # + the two repair lineart-loss keys (module constants in the
-    # reference, train_anima_repair.py:97-98)
-    assert len(schema.FLAT_KEYS) == 82
+    # 79 reference keys + TPU extensions: TENSOR_PARALLEL_SIZE,
+    # ANIMA_VIDEO_FRAMES, and the three repair keys (module constants in
+    # the reference, train_anima_repair.py:97-98, 1474-1484)
+    assert len(schema.FLAT_KEYS) == 84
 
 
 def test_defaults_are_deep_copied():
