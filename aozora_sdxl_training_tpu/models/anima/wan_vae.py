@@ -364,12 +364,19 @@ def detect_config(params: Params) -> WanVaeConfig:
     return WanVaeConfig(dim=dim, z_dim=z_dim)
 
 
-def param_shapes(cfg: WanVaeConfig) -> dict[str, tuple[int, ...]]:
-    """Image-mode (HWIO) parameter shapes, for init/tests."""
+def param_shapes(cfg: WanVaeConfig, *,
+                 video: bool = False) -> dict[str, tuple[int, ...]]:
+    """Image-mode (HWIO) parameter shapes, for init/tests.
+
+    ``video=True`` adds the causal temporal-downsample ``time_conv`` kernels
+    ((kt,1,1,I,O), reference vae_encoder.py downsample3d) that
+    :func:`encode_video` needs; a real Wan checkpoint always carries them."""
     shapes: dict[str, tuple[int, ...]] = {
         "encoder.conv1.weight": (3, 3, 3, cfg.dims[0]),
         "encoder.conv1.bias": (cfg.dims[0],),
     }
+    temporal_flags = (False, True, True)  # _EncoderCore temperal_downsample
+    down_index = 0
     for kind, name, in_dim, out_dim in encoder_layout(cfg):
         p = f"encoder.{name}"
         if kind == "res":
@@ -385,6 +392,10 @@ def param_shapes(cfg: WanVaeConfig) -> dict[str, tuple[int, ...]]:
         else:
             shapes[f"{p}.resample.1.weight"] = (3, 3, out_dim, out_dim)
             shapes[f"{p}.resample.1.bias"] = (out_dim,)
+            if video and temporal_flags[down_index]:
+                shapes[f"{p}.time_conv.weight"] = (3, 1, 1, out_dim, out_dim)
+                shapes[f"{p}.time_conv.bias"] = (out_dim,)
+            down_index += 1
     top = cfg.dims[-1]
     for mid in ("middle.0", "middle.2"):
         p = f"encoder.{mid}"
@@ -407,8 +418,9 @@ def param_shapes(cfg: WanVaeConfig) -> dict[str, tuple[int, ...]]:
     return shapes
 
 
-def init_params(cfg: WanVaeConfig, key: jax.Array, dtype=jnp.float32) -> Params:
-    shapes = param_shapes(cfg)
+def init_params(cfg: WanVaeConfig, key: jax.Array, dtype=jnp.float32, *,
+                video: bool = False) -> Params:
+    shapes = param_shapes(cfg, video=video)
     params: Params = {}
     keys = jax.random.split(key, len(shapes))
     for (name, shape), k in zip(sorted(shapes.items()), keys):

@@ -295,11 +295,15 @@ def unet_forward(params: Params,
     hires_only = isinstance(remat, str) and remat.endswith("_hires")
     base_remat = remat[: -len("_hires")] if hires_only else remat
     # units below this token count keep all activations resident
-    # (AOZORA_REMAT_HIRES_TOKENS tunes the speed/HBM trade; default keeps
-    # the 32x32 level + mid resident at 1024px)
+    # (AOZORA_REMAT_HIRES_TOKENS tunes the speed/HBM trade; default 4160
+    # keeps the 32x32 AND 64x64 levels resident at 1024px — the r2-measured
+    # optimum with the flash kernel at the 64x64 level: 266.5 ms/step on
+    # v5e-1 vs 304.9 with only 32x32 resident.  The 64x64 level resident
+    # with XLA attention would store O(S^2) bf16 probs; with the flash
+    # kernel only (out, lse) — use attn_impl="flash" alongside this mode)
     import os
     hires_tokens = int(os.environ.get("AOZORA_REMAT_HIRES_TOKENS",
-                                      str(33 * 33)))
+                                      str(4160)))
 
     def unit_remat(h):
         if hires_only and h.shape[1] * h.shape[2] < hires_tokens:

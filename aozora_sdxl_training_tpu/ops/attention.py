@@ -30,17 +30,25 @@ def dot_product_attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
-FLASH_MIN_KV = 256
+FLASH_MIN_KV = 2048
+
+
+def _flash_min_kv() -> int:
+    """Dispatch threshold: sequences with KV below this use the XLA path.
+
+    Default 2048 is the measured e2e optimum on v5e (r2 sweep, full SDXL
+    1024px micro-step under hires remat): the Pallas kernel wins decisively
+    at the 4096-token level (266.5 ms/step vs 304.9 with XLA there) but
+    LOSES in-context at the 1024-token level (282.0 ms with min_kv=256)
+    and at short-KV cross attention, where XLA's fused path is better.
+    Override via AOZORA_FLASH_MIN_KV for probes."""
+    import os
+    return int(os.environ.get("AOZORA_FLASH_MIN_KV", FLASH_MIN_KV))
 
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
               impl: str = "xla", scale: float | None = None) -> jax.Array:
-    if impl == "flash" and k.shape[1] >= FLASH_MIN_KV:
-        # short-KV cross attention (77 x caption chunks, 512-token adapter
-        # context) has tiny logits; XLA's fused path wins there while the
-        # flash kernel wins on the O(S^2) self-attention (measured on v5e,
-        # tools_dev/attn_probe.py: self-L2 4.1 ms flash vs 9.1 ms xla,
-        # cross-L2 1.7 vs 1.6 — so flash dispatches only at long KV)
+    if impl == "flash" and k.shape[1] >= _flash_min_kv():
         from .flash_attention import flash_attention
         return flash_attention(q, k, v, scale=scale)
     return dot_product_attention_xla(q, k, v, scale=scale)

@@ -133,6 +133,10 @@ def _flash_forward(q3, k3, v3, *, scale: float, kv_valid: int,
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, LANES), jnp.float32),
         ],
+        # batch*head and q-block programs are independent; only the kv loop
+        # carries state — lets Mosaic schedule/pipeline the outer dims freely
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
     )(q3, k3, v3)
     return out, lse
@@ -241,6 +245,8 @@ def _flash_backward(q3, k3, v3, o3, lse, do3, *, scale: float, kv_valid: int,
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q3.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
     )(q3, k3, v3, do3, lse, delta)
 
@@ -269,6 +275,8 @@ def _flash_backward(q3, k3, v3, o3, lse, do3, *, scale: float, kv_valid: int,
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
     )(q3, k3, v3, do3, lse, delta)
 

@@ -187,9 +187,14 @@ def run_anima_training(config, *, post_step_hook=None,
                             "Full")).title()
     remat = (False if ckpt_mode == "Off"
              else "conservative" if ckpt_mode == "Conservative" else True)
-    attn_impl = ("flash" if str(getattr(
+    # Same hybrid mapping as the SDXL trainer: flash kernel at long-KV
+    # self-attention, XLA below FLASH_MIN_KV (the 512-token adapter context
+    # stays on XLA's fused path).  The DiT's head_dim 128 fills the MXU
+    # contraction lanes — flash's strongest shape (attn_probe: 5.4 ms vs
+    # 13.9 xla fwd+bwd at 4096x128).
+    attn_impl = ("xla" if str(getattr(
         config, "MEMORY_EFFICIENT_ATTENTION", "sdpa")).lower()
-        in ("flash", "pallas") and jax.default_backend() == "tpu" else "xla")
+        in ("xla", "einsum") or jax.default_backend() != "tpu" else "flash")
     lineart_enabled = bool(getattr(config,
                                    "ANIMA_REPAIR_LINEART_LOSS_ENABLED", False))
     lineart_strength = max(0.0, float(getattr(

@@ -263,13 +263,15 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
         grad_accum_steps=config.GRADIENT_ACCUMULATION_STEPS,
         clip_grad_norm=float(config.CLIP_GRAD_NORM),
         # Attention backend switch (the reference's sdpa/cudnn/xformers knob,
-        # train.py:197-229): the CUDA options map to XLA's fused attention —
-        # measured faster than the Pallas kernel at SDXL shapes on v5e —
-        # while "flash"/"pallas" select the custom kernel explicitly.
-        attn_impl=("flash" if str(getattr(
+        # train.py:197-229): on TPU every CUDA-backend option maps to the
+        # hybrid path — Pallas flash kernel at long-KV self-attention
+        # (>= ops/attention.FLASH_MIN_KV tokens), XLA's fused attention
+        # below — the r2-measured e2e optimum (266.5 vs 304.9 ms/step at
+        # 1024px b1 on v5e).  "xla"/"einsum" opt out of the kernel entirely.
+        attn_impl=("xla" if str(getattr(
             config, "MEMORY_EFFICIENT_ATTENTION", "sdpa")).lower()
-            in ("flash", "pallas") and jax.default_backend() == "tpu"
-            else "xla"),
+            in ("xla", "einsum") or jax.default_backend() != "tpu"
+            else "flash"),
         compute_dtype=config.compute_dtype,
         remat=_sdxl_remat_mode())
 

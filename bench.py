@@ -48,14 +48,16 @@ def main() -> None:
     batch = 1
     latent_hw = 128  # 1024px
     seq = 77
-    # Measured on v5e r1/r2: XLA's fused attention beats the Pallas flash
-    # kernel at SDXL shapes (xla 353ms vs flash 445ms under full remat;
-    # 319ms vs 388ms under dots_no_logits).
-    attn_impl = "xla"
-    # r2 sweep (v5e-1, 1024px b1): full remat 353.5ms > dots_no_logits
-    # 318.9ms > dots_no_logits_hires 305.2ms (remat only the high-res
-    # units; <=32x32-token units keep activations resident).  batch=2 is
-    # worse per-image under every policy.
+    # r2 sweep (v5e-1, 1024px b1), best measured config — 266.5 ms/step:
+    # * attention: Pallas flash kernel at KV >= 2048 (the 4096-token 64x64
+    #   level), XLA below (ops/attention.FLASH_MIN_KV; flash-everywhere
+    #   measured 282.0, xla-everywhere 304.9);
+    # * remat: only units >= 4160 tokens (the 128x128 resnets) recompute;
+    #   32x32 + 64x64 levels keep activations resident — cheap for flash,
+    #   which saves only (out, lse), no O(S^2) probs.
+    # Earlier points: full remat 353.5, dots_no_logits 318.9, hires(1089)
+    # 305.5; batch=2 worse per-image under every policy.
+    attn_impl = "flash"
     remat = "dots_no_logits_hires"
 
     print(f"bench: backend={jax.default_backend()} batch={batch} "

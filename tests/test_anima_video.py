@@ -101,8 +101,12 @@ def test_encode_video_then_video_loss_shapes():
     from aozora_sdxl_training_tpu.models.anima import wan_vae
 
     cfg = wan_vae.TINY_WAN_VAE
-    params = wan_vae.init_params(cfg, jax.random.PRNGKey(1))
+    params = wan_vae.init_params(cfg, jax.random.PRNGKey(1), video=True)
     video = jnp.asarray(np.random.default_rng(2).uniform(
         -1, 1, (1, 5, 32, 32, 3)).astype(np.float32))
     lat = wan_vae.encode_video(params, video, cfg=cfg)
     assert lat.shape == (1, 2, 4, 4, cfg.z_dim)
+    # image-mode init stays video-free (loader parity: a checkpoint without
+    # time_conv weights must fail loudly in video mode, tested above)
+    img_params = wan_vae.init_params(cfg, jax.random.PRNGKey(1))
+    assert not any("time_conv" in k for k in img_params)

@@ -32,6 +32,7 @@ SHAPES = [
     ("sdxl-cross-L2", 1, 10, 4096, 77, 64),
     ("sdxl-cross-L3", 1, 20, 1024, 77, 64),
     ("dit-self", 1, 16, 4096, 4096, 128),
+    ("dit-cross", 1, 16, 4096, 512, 128),
 ]
 
 

@@ -20,9 +20,11 @@ batch = int(args.get("batch", 1))
 attn = args.get("attn", "flash")
 latent = int(args.get("latent", 128))
 fused_gn = bool(int(args.get("fused_gn", 0)))
+import os
 if "hires" in args:
-    import os
     os.environ["AOZORA_REMAT_HIRES_TOKENS"] = str(int(args["hires"]))
+if "min_kv" in args:
+    os.environ["AOZORA_FLASH_MIN_KV"] = str(int(args["min_kv"]))
 
 from aozora_sdxl_training_tpu.models.sdxl.arch import SDXL_BASE
 from aozora_sdxl_training_tpu.models.sdxl.unet import init_params, unet_forward
@@ -86,6 +88,7 @@ mfu = flops / dt / 197e12 if flops else float("nan")
 mem = jax.devices()[0].memory_stats() or {}
 peak = mem.get("peak_bytes_in_use", 0) / 1e9
 hires_lbl = args.get("hires", "-")
-print(f"remat={remat} batch={batch} attn={attn} latent={latent} fused_gn={fused_gn} hires={hires_lbl}: "
+minkv_lbl = args.get("min_kv", "-")
+print(f"remat={remat} batch={batch} attn={attn} latent={latent} fused_gn={fused_gn} hires={hires_lbl} min_kv={minkv_lbl}: "
       f"{dt*1e3:.1f}ms/step {dt/batch:.4f}s/img MFU~{mfu:.1%} "
       f"peakHBM={peak:.1f}GB", flush=True)
