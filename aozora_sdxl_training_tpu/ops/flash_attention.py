@@ -40,8 +40,12 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
+# r2 block sweep on v5e (tools_dev/attn_probe.py, fwd+bwd, with
+# dimension_semantics hints): 512/1024 beats 256/512 at every long-KV
+# shape — sdxl-self 4096x64: 3.03 vs 3.84 ms; dit-self 4096x128: 3.94 vs
+# 5.58 ms (61.9% of peak); short-KV shapes are capped by _pick_blocks.
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
 LANES = 128
 

@@ -48,17 +48,21 @@ def main() -> None:
     batch = 1
     latent_hw = 128  # 1024px
     seq = 77
-    # r2 sweep (v5e-1, 1024px b1), best measured config — 266.5 ms/step:
-    # * attention: Pallas flash kernel at KV >= 2048 (the 4096-token 64x64
-    #   level), XLA below (ops/attention.FLASH_MIN_KV; flash-everywhere
-    #   measured 282.0, xla-everywhere 304.9);
-    # * remat: only units >= 4160 tokens (the 128x128 resnets) recompute;
-    #   32x32 + 64x64 levels keep activations resident — cheap for flash,
-    #   which saves only (out, lse), no O(S^2) probs.
-    # Earlier points: full remat 353.5, dots_no_logits 318.9, hires(1089)
-    # 305.5; batch=2 worse per-image under every policy.
+    # r2 sweep (v5e-1, 1024px b1), best measured config — 248.3 ms/step,
+    # 6.24x, 40.0% executed MFU:
+    # * attention: Pallas flash kernel (block_q=512, block_k=1024,
+    #   dimension_semantics hints) at KV >= 2048 — the 4096-token 64x64
+    #   level — XLA's fused path below (ops/attention.FLASH_MIN_KV;
+    #   flash-everywhere and xla-everywhere both measured slower);
+    # * remat: NONE.  The flash kernel saves only O(S) (out, lse)
+    #   residuals instead of O(S^2) probs, which is what makes the full
+    #   no-recompute backward fit in 16 GB at this shape (with XLA
+    #   attention everywhere remat=False OOMs).
+    # Measured ladder: full remat 353.5 > dots_no_logits 318.9 >
+    # xla+hires 304.9 > flash+hires(4160) 266.5 > same with tuned kernel
+    # blocks 250.8 > no-remat 248.3.  batch=2 worse per-image throughout.
     attn_impl = "flash"
-    remat = "dots_no_logits_hires"
+    remat = False
 
     print(f"bench: backend={jax.default_backend()} batch={batch} "
           f"latent={latent_hw} attn={attn_impl}", file=sys.stderr)

@@ -129,3 +129,32 @@ def test_flash_grads_under_remat_named_save_policy():
     for a, b in zip(g_plain, g_remat):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_dispatch_threshold_routes_short_kv_to_xla(monkeypatch):
+    """attention(impl="flash") only invokes the Pallas kernel at
+    KV >= FLASH_MIN_KV (measured e2e optimum 2048 on v5e); below, XLA's
+    fused path wins and must be used."""
+    from aozora_sdxl_training_tpu.ops import attention as attn_mod
+
+    calls = []
+
+    def fake_flash(q, k, v, *, scale=None):
+        calls.append(k.shape[1])
+        return dot_product_attention_xla(q, k, v, scale=scale)
+
+    import aozora_sdxl_training_tpu.ops.flash_attention as fa
+    monkeypatch.setattr(fa, "flash_attention", fake_flash)
+    monkeypatch.setenv("AOZORA_FLASH_MIN_KV", "2048")
+
+    q = _rand(0, (1, 2048, 2, 64))
+    for skv, expect_flash in ((77, False), (512, False), (2048, True)):
+        kv = _rand(1, (1, skv, 2, 64))
+        calls.clear()
+        attn_mod.attention(q, kv, kv, impl="flash")
+        assert (len(calls) == 1) == expect_flash, (skv, calls)
+    # impl="xla" never dispatches the kernel
+    calls.clear()
+    attn_mod.attention(q, _rand(1, (1, 4096, 2, 64)),
+                       _rand(2, (1, 4096, 2, 64)), impl="xla")
+    assert not calls

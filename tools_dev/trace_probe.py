@@ -1,0 +1,103 @@
+"""Capture a jax.profiler trace of the bench micro-step and print the
+top HLO ops by self-time (tensorboard_plugin_profile parses the xplane).
+
+Usage: python tools_dev/trace_probe.py [attn=flash] [remat=dots_no_logits_hires]
+       [batch=1] [latent=128] [top=35]
+"""
+
+import sys; sys.path.insert(0, "/root/repo")
+import glob
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+args = dict(a.split("=") for a in sys.argv[1:])
+attn = args.get("attn", "flash")
+remat = args.get("remat", "dots_no_logits_hires")
+remat = {"0": False, "1": True}.get(remat, remat)
+batch = int(args.get("batch", 1))
+latent = int(args.get("latent", 128))
+top_n = int(args.get("top", 35))
+trace_dir = args.get("dir", "/tmp/aozora_trace")
+
+from aozora_sdxl_training_tpu.models.sdxl.arch import SDXL_BASE
+from aozora_sdxl_training_tpu.models.sdxl.unet import init_params, unet_forward
+from aozora_sdxl_training_tpu.train import objectives
+
+cfg = SDXL_BASE
+params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+
+
+def loss_fn(params, latents, noise, tickets, embeds, pooled, time_ids):
+    noisy, target, t_cond, _ = objectives.prepare_batch(
+        "v_prediction", latents, noise, tickets)
+    pred = unet_forward(params, noisy.astype(jnp.bfloat16), t_cond, embeds,
+                        pooled, time_ids, cfg=cfg, attn_impl=attn,
+                        compute_dtype=jnp.bfloat16, remat=remat)
+    return objectives.weighted_mse_loss(pred, target, tickets, None)
+
+
+def _step(*a):
+    loss, grads = jax.value_and_grad(loss_fn)(*a)
+    gsq = sum(jnp.sum(g.astype(jnp.float32) ** 2)
+              for g in jax.tree.leaves(grads))
+    return loss, jnp.sqrt(gsq)
+
+
+grad_fn = jax.jit(_step)
+key = jax.random.PRNGKey(1)
+inputs = (
+    params,
+    jax.random.normal(key, (batch, latent, latent, 4), jnp.float32),
+    jax.random.normal(jax.random.fold_in(key, 1),
+                      (batch, latent, latent, 4), jnp.float32),
+    jnp.full((batch,), 500, jnp.int32),
+    jax.random.normal(jax.random.fold_in(key, 2), (batch, 77, 2048),
+                      jnp.bfloat16),
+    jax.random.normal(jax.random.fold_in(key, 3), (batch, 1280), jnp.bfloat16),
+    jnp.tile(jnp.asarray([[1024, 1024, 0, 0, 1024, 1024]], jnp.float32),
+             (batch, 1)),
+)
+
+t0 = time.perf_counter()
+loss, gnorm = grad_fn(*inputs)
+jax.block_until_ready(gnorm)
+print(f"compile {time.perf_counter()-t0:.1f}s loss={float(loss):.4f}",
+      flush=True)
+
+os.makedirs(trace_dir, exist_ok=True)
+with jax.profiler.trace(trace_dir):
+    for _ in range(4):
+        loss, gnorm = grad_fn(*inputs)
+    jax.block_until_ready(gnorm)
+print("trace captured", flush=True)
+
+xplanes = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True),
+                 key=os.path.getmtime)
+if not xplanes:
+    raise SystemExit(f"no xplane.pb under {trace_dir}")
+xplane = xplanes[-1]
+print(f"parsing {xplane}", flush=True)
+
+from tensorboard_plugin_profile.convert import raw_to_tool_data
+
+# hlo_op_stats: one row per HLO op with self-time; the tool returns TSV/JSON
+for tool in ("hlo_stats", "tensorflow_stats", "framework_op_stats",
+             "op_profile"):
+    try:
+        data, _ = raw_to_tool_data.xspace_to_tool_data([xplane], tool, {})
+    except Exception as e:  # tool name varies across plugin versions
+        print(f"[{tool}] unavailable: {type(e).__name__}: {e}", flush=True)
+        continue
+    if isinstance(data, bytes):
+        data = data.decode("utf-8", "replace")
+    lines = str(data).splitlines()
+    print(f"\n===== {tool}: first {top_n} rows =====")
+    for line in lines[: top_n + 1]:
+        print(line[:240])
+    break
