@@ -52,11 +52,15 @@ print(f"qwen3: {q_path} ({len(q_state)} tensors)")
 
 # --- tiny Wan VAE encoder (torch OIHW conv layout) ---
 v_cfg = wan_vae.TINY_WAN_VAE
-v_params = wan_vae.init_params(v_cfg, jax.random.PRNGKey(13))
+# video=True adds the causal temporal time_conv kernels so the same tiny
+# checkpoint also drives the ANIMA_VIDEO_FRAMES>1 (T>1 clip) verify path
+v_params = wan_vae.init_params(v_cfg, jax.random.PRNGKey(13), video=True)
 v_state = {}
 for name, arr in v_params.items():
     a = np.asarray(arr)
-    if a.ndim == 4:                       # HWIO -> OIHW
+    if a.ndim == 5:                       # (kt,kh,kw,I,O) -> (O,I,kt,kh,kw)
+        a = np.transpose(a, (4, 3, 0, 1, 2))
+    elif a.ndim == 4:                     # HWIO -> OIHW
         a = np.transpose(a, (3, 2, 0, 1))
     v_state[name] = a
 v_path = ROOT / "tiny_wan_vae.safetensors"

@@ -46,10 +46,19 @@ def loss_fn(params, latents, noise, tickets, embeds, pooled, time_ids):
 
 value_and_grad = jax.value_and_grad(loss_fn)
 
+norm_impl = args.get("norm", "cast")
+
+
 def _step(*a):
     loss, grads = value_and_grad(*a)
-    gsq = sum(jnp.sum(g.astype(jnp.float32) ** 2)
-              for g in jax.tree.leaves(grads))
+    if norm_impl == "acc32":
+        # fp32-accumulator reduce over bf16 grads: no fp32 materialization
+        # (trace showed the cast-then-square path costing ~54 ms/step)
+        gsq = sum(jnp.sum(g * g, dtype=jnp.float32)
+                  for g in jax.tree.leaves(grads))
+    else:
+        gsq = sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                  for g in jax.tree.leaves(grads))
     return loss, jnp.sqrt(gsq)
 
 grad_fn = jax.jit(_step)
