@@ -37,6 +37,23 @@ _DTYPE_TO_ST = {
 _ST_TO_DTYPE = {v: k for k, v in _DTYPE_TO_ST.items()}
 
 
+_FLOAT_DTYPES = frozenset(
+    np.dtype(d) for d in (np.float64, np.float32, np.float16,
+                          ml_dtypes.bfloat16, ml_dtypes.float8_e4m3fn,
+                          ml_dtypes.float8_e5m2))
+
+
+def is_float_dtype(dtype) -> bool:
+    """True for any float dtype INCLUDING the ml_dtypes extension types.
+
+    numpy reports bfloat16/float8 as kind 'V' (void), so ``dtype.kind ==
+    'f'`` silently misses them — which made the quantizer/GGUF exporter
+    skip every tensor of a BF16 checkpoint (the trainers' standard output
+    format)."""
+    d = np.dtype(dtype)
+    return d.kind == "f" or d in _FLOAT_DTYPES
+
+
 def st_dtype_name(dtype) -> str:
     return _DTYPE_TO_ST[np.dtype(dtype)]
 

@@ -133,3 +133,24 @@ def test_convert_state_dict():
     out2, rep2 = q.convert_state_dict(state, "int8", preset="target",
                                       exclude_patterns=[r"q_proj"])
     assert rep2["quantized"] == 0
+
+
+def test_bf16_checkpoints_are_quantizable():
+    """The trainers save all-BF16 models; numpy reports ml_dtypes.bfloat16
+    as kind 'V', which used to make every selection predicate reject the
+    tensor — a silent no-op quantization of the standard output format."""
+    import ml_dtypes
+
+    from aozora_sdxl_training_tpu.ckpt.safetensors_io import is_float_dtype
+    from aozora_sdxl_training_tpu.tools import quantize as q
+
+    assert is_float_dtype(ml_dtypes.bfloat16)
+    assert is_float_dtype(np.float16) and not is_float_dtype(np.int8)
+    w = np.random.default_rng(0).normal(size=(64, 64))
+    w16 = w.astype(ml_dtypes.bfloat16)
+    assert q.should_quantize("blocks.0.mlp.layer1.weight", w16, "all", 16)
+    assert q.format_compatible("int8_tensorwise", "blocks.0.mlp.layer1.weight", w16)
+    state = {"blocks.0.mlp.layer1.weight": w16}
+    out, report = q.convert_state_dict(state, "int8", preset="all",
+                                       min_elements=16)
+    assert report["quantized"] == 1, report
