@@ -111,6 +111,12 @@ def _fields() -> list[Field]:
         Field("ANIMA_GRADIENT_CHECKPOINTING_MODE", "Full", ANIMA_ONLY),
         # --- Saving ---
         Field("SAVE_EVERY_N_STEPS", 1000, SHARED),
+        # TPU extension: in-training preview sampling (DDIM/Euler + VAE
+        # decoder; train/sampler.py). 0 = off (reference has no sampler).
+        Field("PREVIEW_EVERY_N_STEPS", 0, SDXL_ONLY,
+              nested_name="preview_every_n_steps"),
+        Field("PREVIEW_SAMPLE_STEPS", 20, SDXL_ONLY,
+              nested_name="preview_sample_steps"),
         Field("ANIMA_STREAMING_SAVE", True, ANIMA_ONLY),
         # --- Layer exclusion ---
         Field("UNET_EXCLUDE_TARGETS", "conv1, conv2", SDXL_ONLY),

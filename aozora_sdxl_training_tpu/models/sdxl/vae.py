@@ -108,14 +108,57 @@ def encoder_forward(params: Params, pixels: jax.Array, *,
     return x[..., : z2 // 2]  # mean half of the (mean, logvar) pair
 
 
-def params_from_sd_state(sd_tensors: dict, dtype=jnp.float32) -> Params:
-    """Extract+convert ``first_stage_model.*`` encoder tensors to NHWC layout."""
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def decoder_forward(params: Params, latents: jax.Array, *,
+                    num_up_blocks: int = 4,
+                    layers_per_up_block: int = 3,
+                    compute_dtype=jnp.float32) -> jax.Array:
+    """Raw (un-normalized) latents (B, H/8, W/8, z) -> pixels (B, H, W, 3)
+    in [-1, 1].
+
+    TPU extension beyond the reference (which never decodes — diffusers
+    AutoencoderKL decode is unused in its training path): enables in-
+    training preview sampling.  CompVis SD decoder layout: post_quant_conv,
+    conv_in, mid (resnet/attn/resnet), up stages applied in REVERSED index
+    order (up.3 first) with 3 resnets each and a nearest-2x + conv
+    upsample on every stage except up.0, then norm/conv head.
+    """
+    x = latents.astype(compute_dtype)
+    x = _conv(params, "post_quant_conv", x)
+    x = _conv(params, "decoder.conv_in", x)
+    x = _resnet(params, "decoder.mid.block_1", x)
+    x = _mid_attention(params, "decoder.mid.attn_1", x)
+    x = _resnet(params, "decoder.mid.block_2", x)
+    for i in reversed(range(num_up_blocks)):
+        for j in range(layers_per_up_block):
+            x = _resnet(params, f"decoder.up.{i}.block.{j}", x)
+        if f"decoder.up.{i}.upsample.conv.weight" in params:
+            x = _conv(params, f"decoder.up.{i}.upsample.conv",
+                      upsample_nearest_2x(x))
+    x = _group_norm(params, "decoder.norm_out", x)
+    x = _conv(params, "decoder.conv_out", jax.nn.silu(x))
+    return x
+
+
+def params_from_sd_state(sd_tensors: dict, dtype=jnp.float32, *,
+                         include_decoder: bool = False) -> Params:
+    """Extract+convert ``first_stage_model.*`` encoder tensors to NHWC
+    layout (``include_decoder`` adds ``decoder.*`` + ``post_quant_conv``
+    for preview sampling)."""
+    prefixes = ("encoder.", "quant_conv")
+    if include_decoder:
+        prefixes = prefixes + ("decoder.", "post_quant_conv")
     params: Params = {}
     for key, value in sd_tensors.items():
         if not key.startswith(VAE_PREFIX):
             continue
         short = key[len(VAE_PREFIX):]
-        if not (short.startswith("encoder.") or short.startswith("quant_conv")):
+        if not short.startswith(prefixes):
             continue
         arr = jnp.asarray(value)
         if arr.ndim == 4:  # conv OIHW -> HWIO
@@ -123,6 +166,8 @@ def params_from_sd_state(sd_tensors: dict, dtype=jnp.float32) -> Params:
         params[short] = arr.astype(dtype)
     if "encoder.conv_in.weight" not in params:
         raise ValueError("No first_stage_model encoder tensors found in checkpoint")
+    if include_decoder and "decoder.conv_in.weight" not in params:
+        raise ValueError("Checkpoint has no first_stage_model decoder tensors")
     return params
 
 

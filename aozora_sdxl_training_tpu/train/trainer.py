@@ -227,6 +227,16 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
           f"{unet_cfg.in_channels}, out_channels: {unet_cfg.out_channels}")
     sd_tensors = load_sd_tensors(model_to_load)
     params = params_from_sd_state(sd_tensors, unet_cfg, dtype=jnp.float32)
+    # preview sampling (TPU extension): keep the VAE decoder half around
+    # when PREVIEW_EVERY_N_STEPS > 0 (train/sampler.py)
+    vae_decoder_params = None
+    if int(getattr(config, "PREVIEW_EVERY_N_STEPS", 0) or 0) > 0:
+        from ..models.sdxl import vae as vae_mod
+        try:
+            vae_decoder_params = vae_mod.params_from_sd_state(
+                sd_tensors, dtype=jnp.float32, include_decoder=True)
+        except ValueError as e:
+            print(f"WARNING: preview sampling disabled: {e}")
     del sd_tensors
 
     trainable, frozen = split_trainable(params, config.UNET_EXCLUDE_TARGETS)
@@ -274,6 +284,16 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
             else "flash"),
         compute_dtype=config.compute_dtype,
         remat=_sdxl_remat_mode())
+
+    from .sampler import PreviewRenderer
+    preview = PreviewRenderer(config, unet_cfg,
+                              attn_impl=step_cfg.attn_impl,
+                              compute_dtype=step_cfg.compute_dtype,
+                              decoder_params=vae_decoder_params)
+    if preview.enabled:
+        print(f"INFO: preview sampling every {preview.every} optimizer "
+              f"step(s) ({getattr(config, 'PREVIEW_SAMPLE_STEPS', 20)} "
+              f"DDIM/Euler steps)")
 
     use_mesh = layout.use_mesh
     shardings = None
@@ -400,6 +420,8 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
         # tickets are consumed for REAL samples only, then padded to the
         # device batch — pool consumption is identical across mesh shapes
         real_n = int(batch.get("real_n", batch["latents"].shape[0]))
+        preview.capture_conditioning(batch["latents"], batch["embeds"],
+                                     batch["pooled"], batch["time_ids"])
         tickets = ts_sampler.sample(real_n)
         ticket0 = int(tickets[0])
         dev_b = batch["latents"].shape[0]
@@ -442,6 +464,7 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
                 reporter.log_message(
                     f"\n--- {reason} at optimizer step {optimizer_step} ---")
                 save_checkpoint(optimizer_step)
+            preview.maybe_render(optimizer_step, trainable, frozen, output_dir)
 
         if profile_dir and micro_step == profile_window[1]:
             jax.block_until_ready(loss_dev)

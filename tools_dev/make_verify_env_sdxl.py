@@ -110,6 +110,34 @@ norm("encoder.norm_out", c)
 conv("encoder.conv_out", c, 8, 3)
 conv("quant_conv", 8, 8, 1)
 
+# --- tiny VAE decoder (preview-sampling path) ---
+conv("post_quant_conv", 4, 4, 1)
+conv("decoder.conv_in", 4, ch[-1], 3)
+for blk in ("block_1", "block_2"):
+    norm(f"decoder.mid.{blk}.norm1", ch[-1])
+    conv(f"decoder.mid.{blk}.conv1", ch[-1], ch[-1], 3)
+    norm(f"decoder.mid.{blk}.norm2", ch[-1])
+    conv(f"decoder.mid.{blk}.conv2", ch[-1], ch[-1], 3)
+norm("decoder.mid.attn_1.norm", ch[-1])
+for proj in ("q", "k", "v", "proj_out"):
+    conv(f"decoder.mid.attn_1.{proj}", ch[-1], ch[-1], 1)
+cin = ch[-1]
+for i in reversed(range(len(ch))):
+    cout = ch[i]
+    for j in range(3):
+        rin = cin if j == 0 else cout
+        norm(f"decoder.up.{i}.block.{j}.norm1", rin)
+        conv(f"decoder.up.{i}.block.{j}.conv1", rin, cout, 3)
+        norm(f"decoder.up.{i}.block.{j}.norm2", cout)
+        conv(f"decoder.up.{i}.block.{j}.conv2", cout, cout, 3)
+        if rin != cout:
+            conv(f"decoder.up.{i}.block.{j}.nin_shortcut", rin, cout, 1)
+    if i != 0:
+        conv(f"decoder.up.{i}.upsample.conv", cout, cout, 3)
+    cin = cout
+norm("decoder.norm_out", cin)
+conv("decoder.conv_out", cin, 3, 3)
+
 ckpt = ROOT / "tiny_sdxl.safetensors"
 write_streaming(ckpt, tensors)
 from dataclasses import asdict
