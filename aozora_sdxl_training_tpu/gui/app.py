@@ -409,6 +409,7 @@ class TrainingApp:
         from tkinter import ttk
 
         self.root = root
+        self.tk_module = tk
         root.title("Aozora-TPU Trainer")
         self.state = GuiState(str(Path("configs")))
         self.theme = self.state.theme()
@@ -516,6 +517,13 @@ class TrainingApp:
                                insertbackground=self.theme.text)
         self.console.grid(row=len(FORM_KEYS) + 7, column=0, columnspan=2,
                           sticky="nsew")
+        # latest in-training preview image (train/sampler.py announces
+        # "INFO: preview image saved -> ..."; PNG loads via tk.PhotoImage)
+        self.preview_label = ttk.Label(top, text="")
+        self.preview_label.grid(row=len(FORM_KEYS) + 8, column=0,
+                                columnspan=2, sticky="w")
+        self._preview_shown: str | None = None
+        self._preview_photo = None  # keep the PhotoImage ref alive
         root.after(200, self._refresh)
 
     # -- preset -------------------------------------------------------------
@@ -663,11 +671,25 @@ class TrainingApp:
                 chart.append(line, series.xs[i], series.ys[i])
             self._chart_fed[slot] = n
 
+    def _show_latest_preview(self):
+        path = self.metrics.latest_preview
+        if not path or path == self._preview_shown:
+            return
+        try:
+            photo = self.tk_module.PhotoImage(file=path)
+        except Exception:  # noqa: BLE001 — file mid-write or non-PNG
+            return
+        self._preview_photo = photo
+        self._preview_shown = path
+        self.preview_label.configure(image=photo,
+                                     text=Path(path).name, compound="top")
+
     def _refresh(self):
         status = self.metrics.status_line() or "idle"
         if self.metrics.failures:
             status += f"  [{len(self.metrics.failures)} failure flags]"
         self.status_var.set(status)
+        self._show_latest_preview()
         self._feed_charts()
         self.loss_canvas.redraw()
         self.lr_canvas.redraw()

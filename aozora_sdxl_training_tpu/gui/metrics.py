@@ -26,6 +26,9 @@ GRAD_RE = re.compile(r'Grad Norm \(Raw/Clipped\):\s*([\d.]+)\s*/\s*([\d.]+)')
 # "info" and "infinite scroll" prose don't false-positive
 FAILURE_RE = re.compile(r"cuda out of memory|access violation|\bnan\b|"
                         r"\binf\b|resource_exhausted", re.IGNORECASE)
+# in-training preview sampling announcement (train/sampler.py, TPU
+# extension) -> the GUI shows the latest preview image
+PREVIEW_RE = re.compile(r"INFO: preview image saved -> (.+\.png)\s*$")
 
 
 @dataclass
@@ -56,6 +59,7 @@ class LiveMetrics:
         self.timesteps: deque = deque(maxlen=20000)
         self.sigmas: deque = deque(maxlen=20000)
         self.failures: list[str] = []
+        self.preview_paths: list[str] = []
         self._step_ema = None
         self._optim_ema = None
         self._last_optim_step = None
@@ -96,9 +100,17 @@ class LiveMetrics:
             self.grad_raw.append(self._last_optim_step, float(m.group(1)))
             self.grad_clipped.append(self._last_optim_step, float(m.group(2)))
             added = True
+        m = PREVIEW_RE.search(text)
+        if m:
+            self.preview_paths.append(m.group(1).strip())
+            added = True
         if FAILURE_RE.search(text) and "Loss" not in text:
             self.failures.append(text.strip())
         return added
+
+    @property
+    def latest_preview(self) -> str | None:
+        return self.preview_paths[-1] if self.preview_paths else None
 
     def status_line(self) -> str:
         parts = []

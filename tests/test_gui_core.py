@@ -109,3 +109,17 @@ def test_request_force_save(tmp_path):
     flag = request_force_save(tmp_path)
     assert flag.name == "force_save.flag"
     assert flag.exists()
+
+
+def test_metrics_parse_preview_announcement():
+    from aozora_sdxl_training_tpu.gui.metrics import LiveMetrics
+
+    m = LiveMetrics()
+    assert m.latest_preview is None
+    assert m.parse_line("INFO: preview image saved -> /out/previews/step_2.png")
+    m.parse_line("INFO: preview image saved -> /out/previews/step_4.png")
+    assert m.latest_preview == "/out/previews/step_4.png"
+    assert m.preview_paths == ["/out/previews/step_2.png",
+                               "/out/previews/step_4.png"]
+    # a plain INFO line is not a preview and not a failure
+    assert not m.parse_line("INFO: preview sampling every 2 optimizer step(s)")
