@@ -227,6 +227,11 @@ class SdxlCacheEncoders:
 
         encode_text = jax.jit(lambda tl, tg: clip_mod.encode_dual_towers(
             params_l, params_g, tl, tg, cfg_l=cfg_l, cfg_g=cfg_g))
+        # VAE encode is conv-dominated: measured on v5e at 1024px, the
+        # flash path for the 16384-token mid attention is throughput-
+        # neutral (8.5 vs 8.6 img/s/chip) and the OOM point is set by the
+        # full-res conv activations, not the logits — so XLA stays the
+        # default (tools_dev/cache_probe.py has the attn= knob)
         encode_latents = jax.jit(lambda px: vae_mod.encoder_forward(
             vae_params, px))
         del sd

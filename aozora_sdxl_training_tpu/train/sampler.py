@@ -102,13 +102,15 @@ def make_preview_sampler(cfg: UNetConfig, prediction_type: str, steps: int,
 
 
 def latents_to_pixels(decoder_params, latents, *, shift: float, scale: float,
-                      compute_dtype=jnp.float32) -> jax.Array:
+                      compute_dtype=jnp.float32,
+                      attn_impl: str = "xla") -> jax.Array:
     """Normalized-latent space -> uint8-ready pixels in [0, 1]."""
     from ..data.latent_norm import denormalize_scalar
     from ..models.sdxl import vae as vae_mod
     raw = denormalize_scalar(latents.astype(jnp.float32), shift, scale)
     px = vae_mod.decoder_forward(decoder_params, raw,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 attn_impl=attn_impl)
     return jnp.clip(px * 0.5 + 0.5, 0.0, 1.0)
 
 
@@ -145,7 +147,7 @@ class PreviewRenderer:
             params = {**frozen, **trainable}
             lat = sampler(params, noise, embeds, pooled, time_ids)
             return latents_to_pixels(dec, lat, shift=self.shift,
-                                     scale=self.scale)
+                                     scale=self.scale, attn_impl=attn_impl)
 
         self._run = jax.jit(run)
         self._cond = None
