@@ -157,6 +157,12 @@ def _fields() -> list[Field]:
         # image-mode training; >1 enables video flow-matching — animated
         # GIF/WEBP sources are decoded to 1+4k frames for the causal VAE)
         Field("ANIMA_VIDEO_FRAMES", 1, ANIMA_ONLY, nested_name="video_frames"),
+        # TPU extension: DiT preview sampling (Euler flow integration +
+        # latent-RGB render; train/anima_sampler.py). 0 = off.
+        Field("ANIMA_PREVIEW_EVERY_N_STEPS", 0, ANIMA_ONLY,
+              nested_name="preview_every_n_steps"),
+        Field("ANIMA_PREVIEW_SAMPLE_STEPS", 16, ANIMA_ONLY,
+              nested_name="preview_sample_steps"),
         # QAT repair extras (module constants in the reference,
         # train_anima_repair.py:97-98; preset-controllable here)
         Field("ANIMA_REPAIR_LINEART_LOSS_ENABLED", False, ANIMA_ONLY,

@@ -1,0 +1,109 @@
+"""Anima DiT in-training preview sampling (TPU extension).
+
+Euler integration of the flow-matching ODE over the DiT: the model
+predicts ``noise - x0`` at state ``x_t = (1-t) x0 + t noise`` with
+conditioning ``t`` (the trainer feeds sigma in [0, 1], see
+anima_objectives.ticket_to_sigma_timestep / anima_trainer loss_fn), so
+
+    x_{t-dt} = x_t - dt * pred.
+
+No VAE decoder exists for the Wan stack (the reference ships an
+encode-only VAE, /root/reference/training_utils/anima/vae_encoder.py),
+so previews are rendered as a latent-RGB visualization: first three
+latent channels, per-channel min/max normalized, nearest-upscaled 8x.
+That is enough to watch structure emerge / collapse mid-run.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.anima import dit as dit_mod
+
+
+def make_anima_preview_sampler(cfg: dit_mod.AnimaDiTConfig, steps: int, *,
+                               attn_impl: str = "xla",
+                               compute_dtype=jnp.bfloat16):
+    """Jittable ``sample(params, noise, prompt_emb, t5_ids) -> x0``.
+
+    ``noise``: (B, T, H, W, C) — the training latent space."""
+    n = max(int(steps), 1)
+    ts = np.linspace(1.0, 0.0, n + 1).astype(np.float32)
+
+    def sample(params, noise, prompt_emb, t5_ids):
+        def body(x, i):
+            t = jnp.asarray(ts)[i]
+            dt = jnp.asarray(ts)[i] - jnp.asarray(ts)[i + 1]
+            pred = dit_mod.dit_forward(
+                params, x.astype(compute_dtype),
+                jnp.full((x.shape[0],), t, jnp.float32),
+                prompt_emb.astype(compute_dtype), cfg=cfg, t5_ids=t5_ids,
+                attn_impl=attn_impl, compute_dtype=compute_dtype,
+                remat=False)
+            return x - dt * pred.astype(jnp.float32), ()
+
+        x, _ = jax.lax.scan(body, noise.astype(jnp.float32), jnp.arange(n))
+        return x
+
+    return sample
+
+
+def latents_to_rgb(latents, upscale: int = 8) -> np.ndarray:
+    """(B, T, H, W, C) latents -> (H*u, W*u, 3) float in [0, 1] for the
+    first batch item / first frame (per-channel min-max normalized)."""
+    lat = np.asarray(latents, np.float32)
+    frame = lat[0, 0] if lat.ndim == 5 else lat[0]
+    rgb = frame[..., :3]
+    if rgb.shape[-1] < 3:
+        rgb = np.repeat(frame[..., :1], 3, axis=-1)
+    lo = rgb.min(axis=(0, 1), keepdims=True)
+    hi = rgb.max(axis=(0, 1), keepdims=True)
+    rgb = (rgb - lo) / np.maximum(hi - lo, 1e-6)
+    return np.repeat(np.repeat(rgb, upscale, axis=0), upscale, axis=1)
+
+
+class AnimaPreviewRenderer:
+    """Mirrors train/sampler.PreviewRenderer for the DiT trainer."""
+
+    def __init__(self, config, dit_cfg, *, attn_impl: str, compute_dtype):
+        self.every = int(getattr(config, "ANIMA_PREVIEW_EVERY_N_STEPS", 0)
+                         or 0)
+        steps = int(getattr(config, "ANIMA_PREVIEW_SAMPLE_STEPS", 16) or 16)
+        self.enabled = self.every > 0
+        if not self.enabled:
+            return
+        self.seed = int(config.SEED)
+        sampler = make_anima_preview_sampler(
+            dit_cfg, steps, attn_impl=attn_impl, compute_dtype=compute_dtype)
+        self._run = jax.jit(sampler)
+        self._cond = None
+
+    def capture_conditioning(self, latents, prompt_emb, t5_ids) -> None:
+        if not self.enabled or self._cond is not None:
+            return
+        shape = tuple(latents.shape[1:])
+        if len(shape) == 3:  # image mode (H, W, C) -> (T=1, H, W, C)
+            shape = (1,) + shape
+        self._cond = (shape, jnp.asarray(prompt_emb[:1]),
+                      jnp.asarray(t5_ids[:1]))
+
+    def maybe_render(self, optimizer_step: int, params, output_dir) -> None:
+        if (not self.enabled or self._cond is None
+                or optimizer_step % self.every != 0):
+            return
+        from pathlib import Path
+
+        from .sampler import save_preview_png
+        shape, prompt_emb, t5_ids = self._cond
+        noise = jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                               2_000_000 + optimizer_step),
+            (1,) + shape, jnp.float32)
+        lat = self._run(params, noise, prompt_emb, t5_ids)
+        out = Path(output_dir) / "previews"
+        out.mkdir(parents=True, exist_ok=True)
+        path = out / f"step_{optimizer_step}_latent.png"
+        save_preview_png(path, latents_to_rgb(lat)[None])
+        print(f"INFO: preview image saved -> {path}")

@@ -279,6 +279,13 @@ def run_anima_training(config, *, post_step_hook=None,
     print_optimizer_summary(config, opt_cfg, trainable, lr_curve.initial_lr,
                             len(layout.devices) if use_mesh else 1)
 
+    from .anima_sampler import AnimaPreviewRenderer
+    preview = AnimaPreviewRenderer(config, dit_cfg, attn_impl=attn_impl,
+                                   compute_dtype=config.compute_dtype)
+    if preview.enabled:
+        print(f"INFO: preview sampling (latent-RGB) every {preview.every} "
+              f"optimizer step(s)")
+
     # ---- loop ----
     reporter = MetricsReporter(total_steps=config.MAX_TRAIN_STEPS)
     prefetcher = BatchPrefetcher(
@@ -333,6 +340,8 @@ def run_anima_training(config, *, post_step_hook=None,
         spatial = batch.get("lineart_mask")
         spatial = (jnp.asarray(spatial, jnp.float32)
                    if lineart_enabled and spatial is not None else None)
+        preview.capture_conditioning(latents, batch["prompt_emb"],
+                                     batch["t5xxl_ids"])
         loss_dev, sigma_dev, grad_accum = micro_fn(
             trainable, frozen, grad_accum, jnp.asarray(latents),
             jnp.asarray(batch["prompt_emb"]), jnp.asarray(batch["t5xxl_ids"]),
@@ -382,6 +391,8 @@ def run_anima_training(config, *, post_step_hook=None,
                 reporter.log_message(
                     f"\n--- {reason} at optimizer step {optimizer_step} ---")
                 save_checkpoint(optimizer_step)
+            preview.maybe_render(optimizer_step, {**frozen, **trainable},
+                                 output_dir)
 
         now = time.time()
         step_times.append(now - last_step)

@@ -59,3 +59,24 @@ def test_save_preview_png(tmp_path):
     sampler_mod.save_preview_png(path, img)
     from PIL import Image
     assert Image.open(path).size == (16, 16)
+
+
+def test_anima_preview_sampler_and_latent_rgb():
+    from aozora_sdxl_training_tpu.models.anima import dit as dit_mod
+    from aozora_sdxl_training_tpu.train import anima_sampler as asamp
+
+    cfg = dit_mod.TINY_ANIMA
+    params = dit_mod.init_params(cfg, jax.random.PRNGKey(0))
+    fn = asamp.make_anima_preview_sampler(cfg, 3, compute_dtype=jnp.float32)
+    noise = jax.random.normal(jax.random.PRNGKey(1),
+                              (1, 1, 8, 8, cfg.in_channels))
+    prompt = jnp.zeros((1, 7, cfg.adapter_source_dim))
+    t5 = jnp.ones((1, 7), jnp.int32)
+    x = fn(params, noise, prompt, t5)
+    assert x.shape == noise.shape
+    assert bool(jnp.isfinite(x).all())
+    assert not np.allclose(np.asarray(x), np.asarray(noise))
+
+    rgb = asamp.latents_to_rgb(x, upscale=4)
+    assert rgb.shape == (32, 32, 3)
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
