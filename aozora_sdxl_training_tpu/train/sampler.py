@@ -131,6 +131,14 @@ class PreviewRenderer:
                  compute_dtype, decoder_params):
         self.every = int(getattr(config, "PREVIEW_EVERY_N_STEPS", 0) or 0)
         steps = int(getattr(config, "PREVIEW_SAMPLE_STEPS", 20) or 20)
+        norm_mode = str(getattr(config, "VAE_NORMALIZATION_MODE",
+                                "scalar")).lower()
+        if self.every > 0 and norm_mode != "scalar":
+            # flux_bn32 latents are 32-channel (Flux-family VAE) — the SD
+            # decoder cannot render them; fail loud rather than decode noise
+            print(f"WARNING: preview sampling disabled: latent normalization "
+                  f"mode '{norm_mode}' has no matching decoder path")
+            decoder_params = None
         self.enabled = self.every > 0 and decoder_params is not None
         if not self.enabled:
             return
