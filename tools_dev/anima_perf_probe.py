@@ -25,6 +25,7 @@ batch = int(args.get("batch", 1))
 attn = args.get("attn", "flash")
 latent = int(args.get("latent", 128))
 ctx_tokens = int(args.get("ctx", 512))
+frames = int(args.get("frames", 0))  # latent frames T' (0 = image mode)
 if "min_kv" in args:
     os.environ["AOZORA_FLASH_MIN_KV"] = str(int(args["min_kv"]))
 
@@ -56,10 +57,11 @@ def step(trainable, latents, prompt_emb, t5_ids, tickets, sample_mask,
 
 grad_fn = jax.jit(step)
 key = jax.random.PRNGKey(1)
+lat_shape = ((batch, frames, latent, latent, cfg.in_channels) if frames
+             else (batch, latent, latent, cfg.in_channels))
 inputs = (
     params,
-    jax.random.normal(key, (batch, latent, latent, cfg.in_channels),
-                      jnp.float32),
+    jax.random.normal(key, lat_shape, jnp.float32),
     jax.random.normal(jax.random.fold_in(key, 1),
                       (batch, ctx_tokens, cfg.adapter_source_dim),
                       jnp.bfloat16),
@@ -94,5 +96,6 @@ except Exception:
     flops = 0
 mfu = flops / dt / 197e12 if flops else float("nan")
 print(f"[anima] remat={remat} batch={batch} attn={attn} latent={latent} "
-      f"ctx={ctx_tokens} min_kv={args.get('min_kv', '-')}: "
-      f"{dt*1e3:.1f}ms/step {dt/batch:.4f}s/img MFU~{mfu:.1%}", flush=True)
+      f"frames={frames or 1} ctx={ctx_tokens} "
+      f"min_kv={args.get('min_kv', '-')}: "
+      f"{dt*1e3:.1f}ms/step {dt/batch:.4f}s/clip MFU~{mfu:.1%}", flush=True)
