@@ -64,8 +64,8 @@ def _round_up(a: int, b: int) -> int:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *, scale: float, kv_valid: int,
-                block_k: int, num_k_blocks: int):
-    ik = pl.program_id(2)
+                block_k: int, num_k_blocks: int, kv_axis: int = 2):
+    ik = pl.program_id(kv_axis)
 
     @pl.when(ik == 0)
     def _():
@@ -152,8 +152,8 @@ def _flash_forward(q3, k3, v3, *, scale: float, kv_valid: int,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    dq_acc, *, scale: float, kv_valid: int, block_k: int,
-                   num_k_blocks: int):
-    ik = pl.program_id(2)
+                   num_k_blocks: int, kv_axis: int = 2):
+    ik = pl.program_id(kv_axis)
 
     @pl.when(ik == 0)
     def _():
@@ -185,9 +185,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
-                    kv_valid: int, block_k: int, num_q_blocks: int):
-    ik = pl.program_id(1)
-    iq = pl.program_id(2)
+                    kv_valid: int, block_k: int, num_q_blocks: int,
+                    ik_axis: int = 1, iq_axis: int = 2):
+    ik = pl.program_id(ik_axis)
+    iq = pl.program_id(iq_axis)
 
     @pl.when(iq == 0)
     def _():
@@ -288,6 +289,154 @@ def _flash_backward(q3, k3, v3, o3, lse, do3, *, scale: float, kv_valid: int,
 
 
 # --------------------------------------------------------------------------
+# Folded layout (lane-aligned head_dim): heads live in the LANE dimension
+# --------------------------------------------------------------------------
+#
+# When head_dim is a multiple of 128 (Anima DiT d=128, VAE mid-attention
+# d=512), each head's channel slice is lane-tile aligned inside the native
+# (B, S, H*D) projection layout — so the kernels can index head h at lane
+# offset h*D directly and the (B,S,H,D)->(B,H,S,D) physical transposes
+# (plus their backward twins) disappear entirely.  Same kernel bodies; the
+# grid gains a head axis and block index_maps pick the lane offset.
+
+def _flash_forward_folded(qf, kf, vf, *, h: int, scale: float, kv_valid: int,
+                          block_q: int, block_k: int):
+    """qf: (B, Sq, H*D); kf, vf: (B, Sk, H*D) — S padded to block multiples."""
+    b, sq, hd = qf.shape
+    d = hd // h
+    sk = kf.shape[1]
+    nq, nk = sq // block_q, sk // block_k
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, kv_valid=kv_valid, block_k=block_k,
+        num_k_blocks=nk, kv_axis=3)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b, h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, h, iq, ik: (b, iq, h)),
+            pl.BlockSpec((1, block_k, d), lambda b, h, iq, ik: (b, ik, h)),
+            pl.BlockSpec((1, block_k, d), lambda b, h, iq, ik: (b, ik, h)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, h, iq, ik: (b, iq, h)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, h, iq, ik: (b, iq, h)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, hd), qf.dtype),
+            jax.ShapeDtypeStruct((b, sq, h * LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(qf, kf, vf)
+    return out, lse
+
+
+def _flash_backward_folded(qf, kf, vf, of, lse, dof, *, h: int, scale: float,
+                           kv_valid: int, block_q: int, block_k: int):
+    b, sq, hd = qf.shape
+    d = hd // h
+    sk = kf.shape[1]
+    nq, nk = sq // block_q, sk // block_k
+
+    # per-head dO.O row sums, lane-replicated at each head's LANES slot
+    delta = jnp.sum(dof.astype(jnp.float32).reshape(b, sq, h, d)
+                    * of.astype(jnp.float32).reshape(b, sq, h, d), axis=-1)
+    delta = jnp.repeat(delta, LANES, axis=-1)          # (B, Sq, H*LANES)
+
+    row_spec = pl.BlockSpec((1, block_q, LANES), lambda b, h, iq, ik: (b, iq, h))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_valid=kv_valid,
+                          block_k=block_k, num_k_blocks=nk, kv_axis=3),
+        grid=(b, h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, h, iq, ik: (b, iq, h)),
+            pl.BlockSpec((1, block_k, d), lambda b, h, iq, ik: (b, ik, h)),
+            pl.BlockSpec((1, block_k, d), lambda b, h, iq, ik: (b, ik, h)),
+            pl.BlockSpec((1, block_q, d), lambda b, h, iq, ik: (b, iq, h)),
+            row_spec,
+            row_spec,
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, h, iq, ik: (b, iq, h)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), qf.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(qf, kf, vf, dof, lse, delta)
+
+    row_spec_kv = pl.BlockSpec((1, block_q, LANES),
+                               lambda b, h, ik, iq: (b, iq, h))
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, kv_valid=kv_valid,
+                          block_k=block_k, num_q_blocks=nq, ik_axis=2,
+                          iq_axis=3),
+        grid=(b, h, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, h, ik, iq: (b, iq, h)),
+            pl.BlockSpec((1, block_k, d), lambda b, h, ik, iq: (b, ik, h)),
+            pl.BlockSpec((1, block_k, d), lambda b, h, ik, iq: (b, ik, h)),
+            pl.BlockSpec((1, block_q, d), lambda b, h, ik, iq: (b, iq, h)),
+            row_spec_kv,
+            row_spec_kv,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, h, ik, iq: (b, ik, h)),
+            pl.BlockSpec((1, block_k, d), lambda b, h, ik, iq: (b, ik, h)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sk, hd), kf.dtype),
+            jax.ShapeDtypeStruct((b, sk, hd), vf.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(qf, kf, vf, dof, lse, delta)
+
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_core_folded(qf, kf, vf, h, scale, kv_valid, blocks):
+    return _flash_forward_folded(qf, kf, vf, h=h, scale=scale,
+                                 kv_valid=kv_valid, block_q=blocks[0],
+                                 block_k=blocks[1])
+
+
+def _flash_core_folded_fwd(qf, kf, vf, h, scale, kv_valid, blocks):
+    out, lse = _flash_forward_folded(qf, kf, vf, h=h, scale=scale,
+                                     kv_valid=kv_valid, block_q=blocks[0],
+                                     block_k=blocks[1])
+    out = jax.ad_checkpoint.checkpoint_name(out, "flash_out")
+    lse = jax.ad_checkpoint.checkpoint_name(lse, "flash_lse")
+    return (out, lse), (qf, kf, vf, out, lse)
+
+
+def _flash_core_folded_bwd(h, scale, kv_valid, blocks, res, g):
+    qf, kf, vf, out, lse = res
+    g_out, _ = g
+    return _flash_backward_folded(qf, kf, vf, out, lse, g_out, h=h,
+                                  scale=scale, kv_valid=kv_valid,
+                                  block_q=blocks[0], block_k=blocks[1])
+
+
+_flash_core_folded.defvjp(_flash_core_folded_fwd, _flash_core_folded_bwd)
+
+
+# --------------------------------------------------------------------------
 # Public entry with custom VJP
 # --------------------------------------------------------------------------
 
@@ -343,6 +492,20 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     block_q, block_k = _pick_blocks(sq, skv)
     sq_pad = _round_up(sq, block_q)
     sk_pad = _round_up(skv, block_k)
+
+    if d % LANES == 0:
+        # lane-aligned head_dim: keep the native (B, S, H*D) layout — no
+        # physical head transposes in or out (see the folded section above)
+        def fold(x, s_pad):
+            x = x.reshape(b, x.shape[1], h * d)
+            if s_pad != x.shape[1]:
+                x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
+            return x
+
+        out, _ = _flash_core_folded(fold(q, sq_pad), fold(k, sk_pad),
+                                    fold(v, sk_pad), h, scale, skv,
+                                    (block_q, block_k))
+        return out[:, :sq].reshape(b, sq, h, d)
 
     def to3(x, s_pad):
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)

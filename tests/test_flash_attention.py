@@ -158,3 +158,49 @@ def test_dispatch_threshold_routes_short_kv_to_xla(monkeypatch):
     attn_mod.attention(q, _rand(1, (1, 4096, 2, 64)),
                        _rand(2, (1, 4096, 2, 64)), impl="xla")
     assert not calls
+
+
+def test_folded_layout_matches_legacy_forward_and_grads():
+    """Lane-aligned head_dim (d=128) dispatches the folded no-transpose
+    path; it must match the legacy (BH, S, D) path exactly."""
+    from aozora_sdxl_training_tpu.ops import flash_attention as fa
+
+    b, sq, skv, h, d = 1, 256, 160, 2, 128
+    q = _rand(10, (b, sq, h, d))
+    k = _rand(11, (b, skv, h, d))
+    v = _rand(12, (b, skv, h, d))
+
+    def legacy(q, k, v):
+        block_q, block_k = fa._pick_blocks(sq, skv)
+        sq_p, sk_p = fa._round_up(sq, block_q), fa._round_up(skv, block_k)
+
+        def to3(x, s_pad):
+            x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
+            return jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
+
+        out, _ = fa._flash_core(to3(q, sq_p), to3(k, sk_p), to3(v, sk_p),
+                                d ** -0.5, skv, (block_q, block_k))
+        return jnp.transpose(out[:, :sq].reshape(b, h, sq, d), (0, 2, 1, 3))
+
+    with pltpu.force_tpu_interpret_mode():
+        out_folded = flash_attention(q, k, v)
+        out_legacy = legacy(q, k, v)
+        np.testing.assert_allclose(np.asarray(out_folded),
+                                   np.asarray(out_legacy), rtol=1e-5,
+                                   atol=1e-5)
+
+        def loss_f(q, k, v):
+            return jnp.sum(flash_attention(q, k, v).astype(jnp.float32) ** 2)
+
+        def loss_l(q, k, v):
+            return jnp.sum(legacy(q, k, v).astype(jnp.float32) ** 2)
+
+        gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+        gl = jax.grad(loss_l, argnums=(0, 1, 2))(q, k, v)
+        for a, bb in zip(gf, gl):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=2e-4, atol=2e-4)
+    # xla reference too
+    ref = dot_product_attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_folded), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
