@@ -21,11 +21,37 @@ def main(argv=None) -> None:
     parser.add_argument("--config", required=True)
     parser.add_argument("--rebuild", action="store_true",
                         help="force a full rebuild")
+    parser.add_argument("--clear", action="store_true",
+                        help="delete the active mode's cache dirs and exit "
+                        "(the GUI dataset cards' cache-clear, CLI form)")
     args = parser.parse_args(argv)
 
     from ..config.runtime import RuntimeConfig
 
     config = RuntimeConfig.from_argv(["--config", args.config])
+    if args.clear:
+        import shutil
+        from pathlib import Path
+
+        from ..gui.datasets_model import cache_folder_names
+
+        names = cache_folder_names({
+            "TRAINING_MODE": config.TRAINING_MODE,
+            "PREDICTION_TYPE": config.PREDICTION_TYPE,
+            "ANIMA_CACHE_FOLDER_NAME": getattr(
+                config, "ANIMA_CACHE_FOLDER_NAME", None),
+        })
+        removed = 0
+        for entry in config.INSTANCE_DATASETS:
+            root = Path(entry["path"] if isinstance(entry, dict) else entry)
+            for name in names:
+                cache_dir = root / name
+                if cache_dir.is_dir():
+                    shutil.rmtree(cache_dir)
+                    print(f"INFO: removed {cache_dir}")
+                    removed += 1
+        print(f"INFO: cleared {removed} cache dir(s).")
+        return
     if args.rebuild:
         config.REBUILD_CACHE = True
 
