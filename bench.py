@@ -39,6 +39,27 @@ def peak_flops_for(device) -> float:
     return 197e12
 
 
+def main_anima() -> None:
+    """Optional secondary benchmark (``python bench.py --anima``): the
+    2.09B Anima DiT flow-matching micro-step at 4096 tokens, Conservative
+    checkpointing + flash hybrid (the r2-measured best: 498 ms on v5e-1,
+    54% MFU; XLA attention is 1.9x slower).  The reference publishes no
+    Anima numbers; this tracks regressions between rounds."""
+    import subprocess
+    res = subprocess.run(
+        [sys.executable, "tools_dev/anima_perf_probe.py",
+         "remat=conservative", "attn=flash", "batch=1"],
+        capture_output=True, text=True, timeout=2400)
+    line = [l for l in res.stdout.splitlines() if l.startswith("[anima]")]
+    print(res.stdout, file=sys.stderr)
+    if not line:
+        raise SystemExit(f"anima bench failed: {res.stderr[-500:]}")
+    ms = float(line[-1].split(": ")[1].split("ms")[0])
+    print(json.dumps({
+        "metric": "anima_dit_2b_flowmatch_microstep_s_per_clip",
+        "value": round(ms / 1e3, 5), "unit": "s/clip"}))
+
+
 def main() -> None:
     from aozora_sdxl_training_tpu.models.sdxl.arch import SDXL_BASE
     from aozora_sdxl_training_tpu.models.sdxl.unet import init_params, unet_forward
@@ -248,6 +269,6 @@ if __name__ == "__main__":
         _retry_reexec(f"backend not ready: {e}")
     try:
         with _Watchdog(2400, "bench run"):  # > worst observed legit compile
-            main()
+            main_anima() if "--anima" in sys.argv else main()
     except TimeoutError as e:
         _retry_reexec(str(e))
