@@ -96,14 +96,20 @@ class AnimaPreviewRenderer:
         from pathlib import Path
 
         from .sampler import save_preview_png
-        shape, prompt_emb, t5_ids = self._cond
-        noise = jax.random.normal(
-            jax.random.fold_in(jax.random.PRNGKey(self.seed),
-                               2_000_000 + optimizer_step),
-            (1,) + shape, jnp.float32)
-        lat = self._run(params, noise, prompt_emb, t5_ids)
-        out = Path(output_dir) / "previews"
-        out.mkdir(parents=True, exist_ok=True)
-        path = out / f"step_{optimizer_step}_latent.png"
-        save_preview_png(path, latents_to_rgb(lat)[None])
-        print(f"INFO: preview image saved -> {path}")
+        try:
+            shape, prompt_emb, t5_ids = self._cond
+            noise = jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                   2_000_000 + optimizer_step),
+                (1,) + shape, jnp.float32)
+            lat = self._run(params, noise, prompt_emb, t5_ids)
+            out = Path(output_dir) / "previews"
+            out.mkdir(parents=True, exist_ok=True)
+            path = out / f"step_{optimizer_step}_latent.png"
+            save_preview_png(path, latents_to_rgb(lat)[None])
+            print(f"INFO: preview image saved -> {path}")
+        except Exception as e:  # noqa: BLE001 — diagnostics must never
+            # kill the training run
+            self.enabled = False
+            print(f"WARNING: preview sampling disabled after failure: "
+                  f"{type(e).__name__}: {e}")

@@ -174,15 +174,21 @@ class PreviewRenderer:
                 or optimizer_step % self.every != 0):
             return
         from pathlib import Path
-        shape, embeds, pooled, time_ids = self._cond
-        noise = jax.random.normal(
-            jax.random.fold_in(jax.random.PRNGKey(self.seed),
-                               1_000_000 + optimizer_step),
-            (1,) + shape, jnp.float32)
-        px = self._run(trainable, frozen, self._decoder, noise, embeds,
-                       pooled, time_ids)
-        out = Path(output_dir) / "previews"
-        out.mkdir(parents=True, exist_ok=True)
-        path = out / f"step_{optimizer_step}.png"
-        save_preview_png(path, px)
-        print(f"INFO: preview image saved -> {path}")
+        try:
+            shape, embeds, pooled, time_ids = self._cond
+            noise = jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                   1_000_000 + optimizer_step),
+                (1,) + shape, jnp.float32)
+            px = self._run(trainable, frozen, self._decoder, noise, embeds,
+                           pooled, time_ids)
+            out = Path(output_dir) / "previews"
+            out.mkdir(parents=True, exist_ok=True)
+            path = out / f"step_{optimizer_step}.png"
+            save_preview_png(path, px)
+            print(f"INFO: preview image saved -> {path}")
+        except Exception as e:  # noqa: BLE001 — diagnostics must never
+            # kill the training run (e.g. preview executable OOM on-chip)
+            self.enabled = False
+            print(f"WARNING: preview sampling disabled after failure: "
+                  f"{type(e).__name__}: {e}")
