@@ -217,6 +217,11 @@ def _load_hf_tokenizer(path):
         except Exception as e:  # noqa: BLE001
             print(f"WARNING: could not load tokenizer from {p}: {e}; "
                   f"falling back to hash tokenizer")
+    else:
+        print("WARNING: no tokenizer path configured — captions use the "
+              "deterministic HASH tokenizer (fine for tests/dry runs, "
+              "WRONG for real training). Set anima_qwen_tokenizer / "
+              "anima_t5xxl_tokenizer to local HF tokenizer dirs.")
     return HashTokenizer(model_max_length=CONTEXT_TOKENS)
 
 

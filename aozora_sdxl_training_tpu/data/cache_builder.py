@@ -237,6 +237,13 @@ class SdxlCacheEncoders:
         del sd
         tok_dir = Path(ckpt_path).parent / "tokenizer"
         tokenizer = resolve_tokenizer(tok_dir if tok_dir.exists() else None)
+        from .tokenization import HashTokenizer
+        if isinstance(tokenizer, HashTokenizer):
+            print(f"WARNING: no CLIP tokenizer found at {tok_dir} — "
+                  "captions will be encoded with a deterministic HASH "
+                  "tokenizer (fine for tests/dry runs, WRONG for real "
+                  "training). Place an HF-format CLIP tokenizer dir "
+                  "(vocab.json + merges.txt) next to the checkpoint.")
         return cls(encode_text=encode_text, encode_latents=encode_latents,
                    tokenizer_l=tokenizer, tokenizer_g=tokenizer,
                    latent_normalizer=normalize)
