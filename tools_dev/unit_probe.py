@@ -41,11 +41,12 @@ def make_params(prefix):
     p = {}
     d = dim
     init = jax.nn.initializers.normal(0.02)
+    state = {"key": key}
 
     def add(name, shape, bias_shape=None):
-        nonlocal key
-        key = jax.random.fold_in(key, hash(name) % (1 << 30))
-        p[f"{prefix}.{name}.weight"] = init(key, shape, jnp.bfloat16)
+        state["key"] = jax.random.fold_in(state["key"],
+                                          hash(name) % (1 << 30))
+        p[f"{prefix}.{name}.weight"] = init(state["key"], shape, jnp.bfloat16)
         if bias_shape is not None:
             p[f"{prefix}.{name}.bias"] = jnp.zeros(bias_shape, jnp.bfloat16)
 
