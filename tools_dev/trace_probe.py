@@ -84,20 +84,32 @@ if not xplanes:
 xplane = xplanes[-1]
 print(f"parsing {xplane}", flush=True)
 
-from tensorboard_plugin_profile.convert import raw_to_tool_data
+# tensorboard_plugin_profile 2.13's convert module is import-broken against
+# this box's protobuf/TF; TF 2.21's pywrap plugin parses xspace directly.
+from tensorflow.python.profiler.internal import _pywrap_profiler_plugin as pp
 
-# hlo_op_stats: one row per HLO op with self-time; the tool returns TSV/JSON
-for tool in ("hlo_stats", "tensorflow_stats", "framework_op_stats",
-             "op_profile"):
-    try:
-        data, _ = raw_to_tool_data.xspace_to_tool_data([xplane], tool, {})
-    except Exception as e:  # tool name varies across plugin versions
-        print(f"[{tool}] unavailable: {type(e).__name__}: {e}", flush=True)
-        continue
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    lines = str(data).splitlines()
-    print(f"\n===== {tool}: first {top_n} rows =====")
-    for line in lines[: top_n + 1]:
-        print(line[:240])
-    break
+data, ok = pp.xspace_to_tools_data([xplane], "hlo_stats", {})
+if isinstance(data, bytes):
+    data = data.decode("utf-8", "replace")
+import collections
+import json as _json
+
+d = _json.loads(data)
+rows = [[c.get("v") for c in r["c"]] for r in d["rows"]]
+cat_time = collections.Counter()
+op_time = collections.Counter()
+total = 0.0
+for r in rows:
+    self_us = float(r[9] or 0)
+    cat_time[r[2]] += self_us
+    op_time[(r[2], str(r[3])[:60])] += self_us
+    total += self_us
+n_steps = 4
+print(f"total self time: {total/1e3:.1f} ms ({total/n_steps/1e3:.1f} ms/step"
+      f" over {n_steps} steps)")
+print("\n-- by HLO category --")
+for kcat, v in cat_time.most_common(15):
+    print(f"{v/n_steps/1e3:8.2f} ms/step  {100*v/total:5.1f}%  {kcat}")
+print(f"\n-- top {top_n} ops by self time --")
+for (kcat, name), v in op_time.most_common(top_n):
+    print(f"{v/n_steps/1e3:8.2f} ms/step  {kcat:26s} {name}")
