@@ -182,7 +182,8 @@ def run_anima_training(config, *, post_step_hook=None,
 
     # ---- optimizer / jit ----
     opt_cfg = make_optimizer_config(config)
-    lr_curve = curves.LRCurve(config.LR_CUSTOM_CURVE, config.MAX_TRAIN_STEPS)
+    lr_curve = curves.LRCurve(config.LR_CUSTOM_CURVE, config.MAX_TRAIN_STEPS,
+                              fallback_lr=getattr(config, 'LEARNING_RATE', None))
     ckpt_mode = str(getattr(config, "ANIMA_GRADIENT_CHECKPOINTING_MODE",
                             "Full")).title()
     remat = (False if ckpt_mode == "Off"

@@ -43,9 +43,17 @@ def interpolate_curve(points, x: float) -> float:
 
 
 class LRCurve:
-    """Micro-step-indexed LR from the GUI's visual curve."""
+    """Micro-step-indexed LR from the GUI's visual curve.
 
-    def __init__(self, curve_points, total_micro_steps: int):
+    An empty curve is valid in the reference: the optimizer then runs at
+    the constant ``LEARNING_RATE`` (train.py:2259's fallback), so
+    ``fallback_lr`` materializes as a flat two-point curve."""
+
+    def __init__(self, curve_points, total_micro_steps: int,
+                 fallback_lr: float | None = None):
+        if not curve_points and fallback_lr is not None:
+            curve_points = [(0.0, float(fallback_lr)),
+                            (1.0, float(fallback_lr))]
         self.points = normalize_curve_points(curve_points)
         self.total_micro_steps = max(int(total_micro_steps), 1)
 

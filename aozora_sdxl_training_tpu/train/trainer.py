@@ -266,7 +266,8 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
 
     # ---- optimizer / jit ----
     opt_cfg = make_optimizer_config(config)
-    lr_curve = curves.LRCurve(config.LR_CUSTOM_CURVE, config.MAX_TRAIN_STEPS)
+    lr_curve = curves.LRCurve(config.LR_CUSTOM_CURVE, config.MAX_TRAIN_STEPS,
+                              fallback_lr=getattr(config, 'LEARNING_RATE', None))
     step_cfg = TrainStepConfig(
         unet=unet_cfg,
         prediction_type=config.PREDICTION_TYPE,

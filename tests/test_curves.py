@@ -76,3 +76,15 @@ def test_loss_curve_rejects_bad_points():
     np.testing.assert_allclose(y, np.ones(100))
     y2 = timestep_loss_curve_from_config(_Cfg(None), 100)
     np.testing.assert_allclose(y2, np.ones(100))
+
+
+def test_empty_lr_curve_falls_back_to_constant_learning_rate():
+    """Reference parity: with an empty LR_CUSTOM_CURVE the optimizer runs
+    at the constant LEARNING_RATE (train.py:2259 fallback)."""
+    from aozora_sdxl_training_tpu.train import curves
+    c = curves.LRCurve([], 100, fallback_lr=3e-5)
+    assert c.initial_lr == pytest.approx(3e-5)
+    assert c.lr_at(0) == pytest.approx(3e-5)
+    assert c.lr_at(99) == pytest.approx(3e-5)
+    with pytest.raises(ValueError):
+        curves.LRCurve([], 100)  # no fallback -> still a loud error
