@@ -74,6 +74,8 @@ def _fields() -> list[Field]:
         Field("CACHING_BATCH_SIZE", 2, SHARED),
         Field("TEXT_CACHE_PRECISION", "bfloat16", SHARED),
         Field("VAE_CACHE_PRECISION", "bfloat16", SHARED),
+        # accepted for preset compatibility; the TPU pipeline uses a
+        # prefetch thread, not DataLoader workers (train.py:2658)
         Field("NUM_WORKERS", 0, SHARED),
         Field("UNCONDITIONAL_DROPOUT", False, SHARED),
         Field("UNCONDITIONAL_DROPOUT_CHANCE", 0.0, SHARED),
@@ -117,6 +119,8 @@ def _fields() -> list[Field]:
               nested_name="preview_every_n_steps"),
         Field("PREVIEW_SAMPLE_STEPS", 20, SDXL_ONLY,
               nested_name="preview_sample_steps"),
+        # accepted for compatibility; saves always stream here (the
+        # non-streaming writer has no advantage on this runtime)
         Field("ANIMA_STREAMING_SAVE", True, ANIMA_ONLY),
         # --- Layer exclusion ---
         Field("UNET_EXCLUDE_TARGETS", "conv1, conv2", SDXL_ONLY),
@@ -143,6 +147,8 @@ def _fields() -> list[Field]:
             "betas": [0.9, 0.999], "eps": 1e-8, "weight_decay": 0.01,
             "debias_strength": 0.3, "momentum_dtype": "bfloat16"}, SHARED),
         # --- Loss ---
+        # MSE is the only loss in the reference too (the key is
+        # decorative there; kept for preset compatibility)
         Field("LOSS_TYPE", "MSE", SHARED),
         # --- Advanced ---
         Field("MEMORY_EFFICIENT_ATTENTION", "sdpa", SHARED),

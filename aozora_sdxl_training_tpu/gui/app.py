@@ -462,7 +462,9 @@ class TrainingApp:
         ttk.Button(curves, text="Apply",
                    command=self.apply_lr_preset).pack(side="left", padx=2)
         ttk.Label(curves, text="  Timesteps:").pack(side="left")
-        self.ts_preset_var = tk.StringVar(value="Uniform")
+        # restore the preset's stored mode (reference gui.py:5734)
+        self.ts_preset_var = tk.StringVar(
+            value=str(self.flat.get("TIMESTEP_MODE", "Wave") or "Wave"))
         ttk.Combobox(curves, textvariable=self.ts_preset_var, width=20,
                      values=["Uniform", "Wave", "Logit-Normal", "Beta",
                              "Odds-Scaled (Z-Image)"],
@@ -581,8 +583,14 @@ class TrainingApp:
             max_tickets=max(steps, 1))
         mode = self.ts_preset_var.get()
         if mode != "Uniform":
-            model.apply_distribution(mode)
+            # the Odds-Scaled preset honors the preset's TIMESTEP_ODDS_SCALE
+            # (reference gui_math.py:30-46)
+            model.apply_distribution(
+                mode, odds_scale=float(
+                    self.flat.get("TIMESTEP_ODDS_SCALE", 3.0) or 3.0))
         self.flat["TIMESTEP_ALLOCATION"] = model.get_allocation()
+        # persist the selected mode like the reference GUI (gui.py:5793)
+        self.flat["TIMESTEP_MODE"] = mode
         self._log_line(f"[gui] timestep allocation -> {mode} "
                        f"({sum(model.counts)} tickets)")
 
