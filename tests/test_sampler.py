@@ -80,3 +80,45 @@ def test_anima_preview_sampler_and_latent_rgb():
     rgb = asamp.latents_to_rgb(x, upscale=4)
     assert rgb.shape == (32, 32, 3)
     assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+
+
+def test_preview_renderer_cadence_and_self_disable(tmp_path, tiny_unet):
+    from types import SimpleNamespace
+
+    from tests.test_clip_vae import _tiny_vae_sd_tensors
+    from aozora_sdxl_training_tpu.models.sdxl import vae as vae_mod
+    from aozora_sdxl_training_tpu.train.sampler import PreviewRenderer
+
+    dec = vae_mod.params_from_sd_state(_tiny_vae_sd_tensors(decoder=True),
+                                       include_decoder=True)
+    config = SimpleNamespace(PREVIEW_EVERY_N_STEPS=2, PREVIEW_SAMPLE_STEPS=2,
+                             VAE_NORMALIZATION_MODE="scalar",
+                             VAE_SHIFT_FACTOR=0.0, VAE_SCALING_FACTOR=0.13025,
+                             SEED=3, PREDICTION_TYPE="v_prediction")
+    r = PreviewRenderer(config, TINY, attn_impl="xla",
+                        compute_dtype=jnp.float32, decoder_params=dec)
+    assert r.enabled
+    latents = jnp.zeros((2, 8, 8, 4))
+    embeds = jnp.zeros((2, 7, TINY.cross_attention_dim))
+    pooled = jnp.zeros((2, TINY.pooled_projection_dim))
+    time_ids = jnp.ones((2, 6))
+    r.capture_conditioning(latents, embeds, pooled, time_ids)
+
+    trainable = tiny_unet
+    r.maybe_render(1, trainable, {}, tmp_path)       # off-cadence: no file
+    assert not (tmp_path / "previews").exists()
+    r.maybe_render(2, trainable, {}, tmp_path)       # on-cadence: renders
+    assert (tmp_path / "previews" / "step_2.png").exists()
+
+    # a failing run disables previews instead of raising
+    r._run = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+    r.maybe_render(4, trainable, {}, tmp_path)
+    assert not r.enabled
+    assert not (tmp_path / "previews" / "step_4.png").exists()
+
+    # flux_bn32 normalization: loud disable at construction
+    config2 = SimpleNamespace(**vars(config),)
+    config2.VAE_NORMALIZATION_MODE = "flux_bn32"
+    r2 = PreviewRenderer(config2, TINY, attn_impl="xla",
+                         compute_dtype=jnp.float32, decoder_params=dec)
+    assert not r2.enabled
