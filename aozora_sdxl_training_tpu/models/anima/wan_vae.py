@@ -319,24 +319,168 @@ def encode_image_tiled(params: Params, pixels: np.ndarray, *,
 
 
 # --------------------------------------------------------------------------
+# Decoder (image mode) — TPU extension beyond the reference
+# --------------------------------------------------------------------------
+#
+# The reference ships an encode-ONLY VAE (vae_encoder.py strips the decoder
+# entirely), so Anima training can never render pixels.  This implements the
+# Wan2.x ``Decoder3d`` half in image mode (T=1; causal kernels collapse to
+# their last temporal slice exactly as in the encoder, see module docstring)
+# for in-training preview sampling.  Layer naming is symmetric with the
+# encoder keys the reference DOES ship (``decoder.conv1``,
+# ``decoder.middle.{0,1,2}``, ``decoder.upsamples.N``, ``decoder.head.{0,2}``
+# plus the 1x1 ``conv2`` post-quant conv); NOTE: no Wan checkpoint exists in
+# this environment, so real-checkpoint loading is covered by the strict
+# layout contract + synthetic round-trip tests only.
+
+def decoder_layout(cfg: WanVaeConfig):
+    """Ordered (kind, name, in_dim, out_dim) of ``model.decoder.upsamples``.
+
+    Wan2.x Decoder3d: dims run [last, *reversed(dim_mult)]*dim; each stage
+    has num_res_blocks+1 residual blocks then an upsample Resample (except
+    the last stage).  The Resample conv HALVES channels, so stages after
+    the first start at half their nominal input width."""
+    mults = [cfg.dim_mult[-1]] + list(reversed(cfg.dim_mult))
+    dims = [cfg.dim * m for m in mults]
+    layers = []
+    idx = 0
+    n = len(cfg.dim_mult)
+    for i, (in_dim, out_dim) in enumerate(zip(dims[:-1], dims[1:])):
+        if i > 0:
+            in_dim //= 2  # the preceding Resample halved the channels
+        d = in_dim
+        for _ in range(cfg.num_res_blocks + 1):
+            layers.append(("res", f"upsamples.{idx}", d, out_dim))
+            d = out_dim
+            idx += 1
+        if i != n - 1:
+            layers.append(("up", f"upsamples.{idx}", out_dim, out_dim // 2))
+            idx += 1
+    return layers
+
+
+def _upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def decode_image(params: Params, latents: jax.Array, *,
+                 cfg: WanVaeConfig = WAN_VAE, denormalize: bool = True,
+                 compute_dtype=jnp.float32) -> jax.Array:
+    """Normalized latents (B, H/8, W/8, z) -> pixels (B, H, W, 3) in [-1, 1]."""
+    x = latents.astype(compute_dtype)
+    if denormalize:
+        mean = jnp.asarray(LATENT_MEAN[: cfg.z_dim], x.dtype)
+        std = jnp.asarray(LATENT_STD[: cfg.z_dim], x.dtype)
+        x = x * std + mean
+    x = _conv2d(params, "conv2", x)
+    x = _conv2d(params, "decoder.conv1", x)
+    x = _residual_block(params, "decoder.middle.0", x)
+    x = _attention_block(params, "decoder.middle.1", x)
+    x = _residual_block(params, "decoder.middle.2", x)
+    for kind, name, _, _ in decoder_layout(cfg):
+        if kind == "res":
+            x = _residual_block(params, f"decoder.{name}", x)
+        else:
+            # Resample upsample: nearest-2x then a channel-halving conv
+            # (time_conv is skipped in image mode, mirroring the encoder)
+            x = _conv2d(params, f"decoder.{name}.resample.1",
+                        _upsample_nearest_2x(x))
+    x = _channel_rms_norm(params, "decoder.head.0", x)
+    x = _conv2d(params, "decoder.head.2", jax.nn.silu(x))
+    return x
+
+
+def decoder_param_shapes(cfg: WanVaeConfig) -> dict[str, tuple[int, ...]]:
+    """Image-mode (HWIO) decoder parameter shapes, for init/tests."""
+    mults = [cfg.dim_mult[-1]] + list(reversed(cfg.dim_mult))
+    dims = [cfg.dim * m for m in mults]
+    top = dims[0]
+    shapes: dict[str, tuple[int, ...]] = {
+        "conv2.weight": (1, 1, cfg.z_dim, cfg.z_dim),
+        "conv2.bias": (cfg.z_dim,),
+        "decoder.conv1.weight": (3, 3, cfg.z_dim, top),
+        "decoder.conv1.bias": (top,),
+    }
+    for mid in ("middle.0", "middle.2"):
+        p = f"decoder.{mid}"
+        shapes[f"{p}.residual.0.gamma"] = (top,)
+        shapes[f"{p}.residual.2.weight"] = (3, 3, top, top)
+        shapes[f"{p}.residual.2.bias"] = (top,)
+        shapes[f"{p}.residual.3.gamma"] = (top,)
+        shapes[f"{p}.residual.6.weight"] = (3, 3, top, top)
+        shapes[f"{p}.residual.6.bias"] = (top,)
+    shapes["decoder.middle.1.norm.gamma"] = (top,)
+    shapes["decoder.middle.1.to_qkv.weight"] = (1, 1, top, 3 * top)
+    shapes["decoder.middle.1.to_qkv.bias"] = (3 * top,)
+    shapes["decoder.middle.1.proj.weight"] = (1, 1, top, top)
+    shapes["decoder.middle.1.proj.bias"] = (top,)
+    out_dim = cfg.dim
+    for kind, name, in_dim, out in decoder_layout(cfg):
+        p = f"decoder.{name}"
+        if kind == "res":
+            shapes[f"{p}.residual.0.gamma"] = (in_dim,)
+            shapes[f"{p}.residual.2.weight"] = (3, 3, in_dim, out)
+            shapes[f"{p}.residual.2.bias"] = (out,)
+            shapes[f"{p}.residual.3.gamma"] = (out,)
+            shapes[f"{p}.residual.6.weight"] = (3, 3, out, out)
+            shapes[f"{p}.residual.6.bias"] = (out,)
+            if in_dim != out:
+                shapes[f"{p}.shortcut.weight"] = (1, 1, in_dim, out)
+                shapes[f"{p}.shortcut.bias"] = (out,)
+        else:
+            shapes[f"{p}.resample.1.weight"] = (3, 3, in_dim, out)
+            shapes[f"{p}.resample.1.bias"] = (out,)
+        out_dim = out
+    shapes["decoder.head.0.gamma"] = (out_dim,)
+    shapes["decoder.head.2.weight"] = (3, 3, out_dim, 3)
+    shapes["decoder.head.2.bias"] = (3,)
+    return shapes
+
+
+def init_decoder_params(cfg: WanVaeConfig, key: jax.Array,
+                        dtype=jnp.float32) -> Params:
+    shapes = decoder_param_shapes(cfg)
+    params: Params = {}
+    keys = jax.random.split(key, len(shapes))
+    for (name, shape), k in zip(sorted(shapes.items()), keys):
+        if name.endswith(".bias"):
+            params[name] = jnp.zeros(shape, dtype)
+        elif name.endswith(".gamma"):
+            params[name] = jnp.ones(shape, dtype)
+        else:
+            fan_in = int(np.prod(shape[:-1]))
+            params[name] = (jax.random.normal(k, shape, jnp.float32)
+                            * (1.0 / max(fan_in, 1)) ** 0.5).astype(dtype)
+    return params
+
+
+# --------------------------------------------------------------------------
 # Loading
 # --------------------------------------------------------------------------
 
 def params_from_torch_state(state: dict, cfg: WanVaeConfig = WAN_VAE,
-                            dtype=jnp.float32) -> Params:
+                            dtype=jnp.float32, *,
+                            include_decoder: bool = False) -> Params:
     """Torch ``model.*`` keys -> image-mode param dict.
 
     Causal 3D conv kernels (O, I, kt, kh, kw) are kept in full as
     (kt, kh, kw, I, O) — the image path uses the last temporal slice (exact
     for single-frame inputs, see module docstring), the video path uses the
     full kernel.  2D convs transpose to HWIO; RMS-norm gammas squeeze their
-    broadcast dims.
+    broadcast dims.  ``include_decoder`` also keeps ``decoder.*`` /
+    ``conv2.*`` tensors (full Wan checkpoints carry them; the reference's
+    stripped encode-only files do not).
     """
+    prefixes = ("encoder.", "conv1.")
+    if include_decoder:
+        prefixes = prefixes + ("decoder.", "conv2.")
     params: Params = {}
     for key, value in state.items():
         if key.startswith("model."):
             key = key[len("model."):]
-        if not (key.startswith("encoder.") or key.startswith("conv1.")):
+        if not key.startswith(prefixes):
             continue
         arr = jnp.asarray(value)
         if key.endswith(".gamma"):

@@ -64,10 +64,41 @@ def latents_to_rgb(latents, upscale: int = 8) -> np.ndarray:
     return np.repeat(np.repeat(rgb, upscale, axis=0), upscale, axis=1)
 
 
-class AnimaPreviewRenderer:
-    """Mirrors train/sampler.PreviewRenderer for the DiT trainer."""
+def load_decoder_for_preview(config):
+    """(decoder_params, WanVaeConfig) from the configured VAE file, or None.
 
-    def __init__(self, config, dit_cfg, *, attn_impl: str, compute_dtype):
+    Full Wan checkpoints carry the decoder half; the reference's stripped
+    encode-only files do not — previews then fall back to latent-RGB."""
+    from ..models.anima import wan_vae
+    path = str(getattr(config, "DIT_VAE_PATH", "") or "")
+    if not path:
+        return None
+    try:
+        from ..ckpt.safetensors_io import load_all
+        state = {k: np.asarray(v) for k, v in load_all(path).items()}
+        dec = wan_vae.params_from_torch_state(state, include_decoder=True)
+        if not any(k.startswith("decoder.") for k in dec):
+            print("INFO: VAE file has no decoder tensors; previews render "
+                  "latent-RGB")
+            return None
+        cfg = wan_vae.detect_config(dec)
+        dec = {k: v for k, v in dec.items()
+               if k.startswith(("decoder.", "conv2."))}
+        return dec, cfg
+    except Exception as e:  # noqa: BLE001 — preview is a diagnostic
+        print(f"INFO: preview decoder unavailable ({type(e).__name__}: {e}); "
+              "rendering latent-RGB")
+        return None
+
+
+class AnimaPreviewRenderer:
+    """Mirrors train/sampler.PreviewRenderer for the DiT trainer.
+
+    With decoder weights (full Wan VAE file) previews are real pixels;
+    otherwise a latent-RGB visualization."""
+
+    def __init__(self, config, dit_cfg, *, attn_impl: str, compute_dtype,
+                 decoder=None):
         self.every = int(getattr(config, "ANIMA_PREVIEW_EVERY_N_STEPS", 0)
                          or 0)
         steps = int(getattr(config, "ANIMA_PREVIEW_SAMPLE_STEPS", 16) or 16)
@@ -78,6 +109,16 @@ class AnimaPreviewRenderer:
         sampler = make_anima_preview_sampler(
             dit_cfg, steps, attn_impl=attn_impl, compute_dtype=compute_dtype)
         self._run = jax.jit(sampler)
+        self._decode = None
+        if decoder is not None:
+            from ..models.anima import wan_vae
+            dec_params, vae_cfg = decoder
+
+            def decode(lat_bhwc):
+                px = wan_vae.decode_image(dec_params, lat_bhwc, cfg=vae_cfg)
+                return jnp.clip(px * 0.5 + 0.5, 0.0, 1.0)
+
+            self._decode = jax.jit(decode)
         self._cond = None
 
     def capture_conditioning(self, latents, prompt_emb, t5_ids) -> None:
@@ -105,8 +146,13 @@ class AnimaPreviewRenderer:
             lat = self._run(params, noise, prompt_emb, t5_ids)
             out = Path(output_dir) / "previews"
             out.mkdir(parents=True, exist_ok=True)
-            path = out / f"step_{optimizer_step}_latent.png"
-            save_preview_png(path, latents_to_rgb(lat)[None])
+            if self._decode is not None:
+                px = self._decode(lat[:, 0])   # (B, T', H, W, C) first frame
+                path = out / f"step_{optimizer_step}.png"
+                save_preview_png(path, np.asarray(px))
+            else:
+                path = out / f"step_{optimizer_step}_latent.png"
+                save_preview_png(path, latents_to_rgb(lat)[None])
             print(f"INFO: preview image saved -> {path}")
         except Exception as e:  # noqa: BLE001 — diagnostics must never
             # kill the training run

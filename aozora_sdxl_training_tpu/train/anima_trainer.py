@@ -280,11 +280,16 @@ def run_anima_training(config, *, post_step_hook=None,
     print_optimizer_summary(config, opt_cfg, trainable, lr_curve.initial_lr,
                             len(layout.devices) if use_mesh else 1)
 
-    from .anima_sampler import AnimaPreviewRenderer
+    from .anima_sampler import AnimaPreviewRenderer, load_decoder_for_preview
+    preview_decoder = None
+    if int(getattr(config, "ANIMA_PREVIEW_EVERY_N_STEPS", 0) or 0) > 0:
+        preview_decoder = load_decoder_for_preview(config)
     preview = AnimaPreviewRenderer(config, dit_cfg, attn_impl=attn_impl,
-                                   compute_dtype=config.compute_dtype)
+                                   compute_dtype=config.compute_dtype,
+                                   decoder=preview_decoder)
     if preview.enabled:
-        print(f"INFO: preview sampling (latent-RGB) every {preview.every} "
+        kind = "decoded pixels" if preview_decoder else "latent-RGB"
+        print(f"INFO: preview sampling ({kind}) every {preview.every} "
               f"optimizer step(s)")
 
     # ---- loop ----

@@ -258,3 +258,62 @@ def test_wan_vae_encode_uses_detected_z_dim(tiny_vae):
     lat = wan_vae.encode_image(params, px, cfg=det)
     assert lat.shape == (1, 4, 4, cfg.z_dim)
     assert bool(jnp.isfinite(lat).all())
+
+
+def test_wan_decoder_image_roundtrip_shapes():
+    """Wan decoder (TPU extension; the reference's VAE is encode-only):
+    normalized latents -> pixels at 8x spatial, and encode(decode(z))
+    keeps the latent shape."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aozora_sdxl_training_tpu.models.anima import wan_vae
+
+    cfg = wan_vae.TINY_WAN_VAE
+    dec = wan_vae.init_decoder_params(cfg, jax.random.PRNGKey(5))
+    z = jnp.asarray(np.random.default_rng(6).normal(size=(1, 4, 4, cfg.z_dim)),
+                    jnp.float32)
+    px = wan_vae.decode_image(dec, z, cfg=cfg)
+    assert px.shape == (1, 32, 32, 3)
+    assert bool(jnp.isfinite(px).all())
+
+    enc = wan_vae.init_params(cfg, jax.random.PRNGKey(7))
+    z2 = wan_vae.encode_image(enc, px, cfg=cfg)
+    assert z2.shape == z.shape
+
+    # loader round trip: torch layout (OIHW / gamma broadcast) -> params
+    torch_state = {}
+    for name, arr in dec.items():
+        a = np.asarray(arr)
+        if a.ndim == 4:
+            a = np.transpose(a, (3, 2, 0, 1))
+        torch_state[f"model.{name}"] = a
+    # encode-only load must still work and exclude decoder tensors
+    for name, arr in enc.items():
+        a = np.asarray(arr)
+        if a.ndim == 4:
+            a = np.transpose(a, (3, 2, 0, 1))
+        torch_state[f"model.{name}"] = a
+    enc_only = wan_vae.params_from_torch_state(torch_state, cfg)
+    assert not any(k.startswith(("decoder.", "conv2.")) for k in enc_only)
+    both = wan_vae.params_from_torch_state(torch_state, cfg,
+                                           include_decoder=True)
+    px2 = wan_vae.decode_image(both, z, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(px2), np.asarray(px), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_wan_decoder_layout_channel_contract():
+    """The Resample halving / stage-width bookkeeping must be consistent:
+    every layer's in_dim equals the previous layer's out_dim."""
+    from aozora_sdxl_training_tpu.models.anima import wan_vae
+
+    for cfg in (wan_vae.TINY_WAN_VAE, wan_vae.WAN_VAE):
+        layout = wan_vae.decoder_layout(cfg)
+        mults = [cfg.dim_mult[-1]] + list(reversed(cfg.dim_mult))
+        prev_out = cfg.dim * mults[0]
+        for kind, name, in_dim, out_dim in layout:
+            assert in_dim == prev_out, (name, in_dim, prev_out)
+            prev_out = out_dim
+        assert prev_out == cfg.dim  # head operates at base width

@@ -63,9 +63,16 @@ for name, arr in v_params.items():
     elif a.ndim == 4:                     # HWIO -> OIHW
         a = np.transpose(a, (3, 2, 0, 1))
     v_state[name] = a
+# decoder half (full-Wan-checkpoint shape) so pixel previews run e2e
+d_params = wan_vae.init_decoder_params(v_cfg, jax.random.PRNGKey(14))
+for name, arr in d_params.items():
+    a = np.asarray(arr)
+    if a.ndim == 4:
+        a = np.transpose(a, (3, 2, 0, 1))
+    v_state[name] = a
 v_path = ROOT / "tiny_wan_vae.safetensors"
 write_streaming(v_path, v_state)
-print(f"vae: {v_path} ({len(v_state)} tensors)")
+print(f"vae: {v_path} ({len(v_state)} tensors incl. decoder)")
 
 # --- dataset: 4 images with caption sidecars ---
 data = ROOT / "data"
