@@ -20,6 +20,10 @@ from aozora_sdxl_training_tpu.models.anima import qwen3, wan_vae
 
 import jax
 
+# tiny-model init never needs the chip; forcing CPU also keeps the
+# generator alive through axon tunnel flaps
+jax.config.update("jax_platforms", "cpu")
+
 ROOT = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_anima")
 ROOT.mkdir(parents=True, exist_ok=True)
 rng = np.random.default_rng(7)
