@@ -16,6 +16,11 @@ for cfg in "$@"; do
     timeout -k 30 "$TIMEOUT" python tools_dev/perf_probe.py $cfg >> "$LOG" 2>&1
     rc=$?
     if [ $rc -eq 0 ]; then ok=1; break; fi
+    # HBM OOMs are deterministic — retrying only burns chip time
+    if tail -c 4000 "$LOG" | grep -q "Ran out of memory"; then
+      echo "=== probe [$cfg] OOM (deterministic) — not retrying ===" | tee -a "$LOG"
+      break
+    fi
     echo "=== probe [$cfg] attempt $i failed rc=$rc; sleeping 90s ===" | tee -a "$LOG"
     sleep 90
   done
