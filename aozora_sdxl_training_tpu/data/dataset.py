@@ -135,7 +135,11 @@ class CachedLatentDataset:
                 self.null_pooled = np.asarray(tensors["pooled"], np.float32)
                 if self.null_pooled.ndim == 2:
                     self.null_pooled = self.null_pooled[0]
-            except Exception:
+            except Exception as e:  # noqa: BLE001
+                print(f"WARNING: could not load null-conditioning cache "
+                      f"({type(e).__name__}: {e}) — unconditional dropout "
+                      "and conditioning-scale are DISABLED for this run; "
+                      "delete the cache dir to rebuild it")
                 self.dropout_prob = 0.0
                 self.cond_scale_enabled = False
 
