@@ -24,8 +24,6 @@ train-time, objectives.prepare_batch / reference train.py:2743-2752).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
