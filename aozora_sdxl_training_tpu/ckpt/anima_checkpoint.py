@@ -17,7 +17,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .safetensors_io import load_all, write_streaming, is_float_dtype
+from .safetensors_io import load_all, write_streaming, is_requantizable_dtype
 
 DIT_PREFIXES = ("pipe.dit.", "model.diffusion_model.", "diffusion_model.",
                 "dit.", "net.")
@@ -86,7 +86,7 @@ def save_dit_model(output_path, torch_state: dict, *, prefix: str = "",
     counts: dict = {}
     for name, arr in torch_state.items():
         host = np.asarray(arr)
-        if np_dtype is not None and is_float_dtype(host.dtype):
+        if np_dtype is not None and is_requantizable_dtype(host.dtype):
             host = host.astype(np_dtype)
         tensors[f"{prefix}{name}"] = host
         counts[str(host.dtype)] = counts.get(str(host.dtype), 0) + 1

@@ -54,6 +54,21 @@ def is_float_dtype(dtype) -> bool:
     return d.kind == "f" or d in _FLOAT_DTYPES
 
 
+_F8_DTYPES = frozenset(np.dtype(d) for d in (ml_dtypes.float8_e4m3fn,
+                                             ml_dtypes.float8_e5m2))
+
+
+def is_requantizable_dtype(dtype) -> bool:
+    """True for f64/f32/f16/bf16 — raw float weights a quantizer may convert.
+
+    Deliberately EXCLUDES the float8 dtypes: an f8 tensor in a checkpoint is
+    already a quantized code tensor whose values are meaningless without its
+    scale sidecar, so re-quantizing or dtype-casting it would corrupt it.
+    Use ``is_float_dtype`` when f8 should count as float (e.g. raw IO)."""
+    d = np.dtype(dtype)
+    return is_float_dtype(d) and d not in _F8_DTYPES
+
+
 def st_dtype_name(dtype) -> str:
     return _DTYPE_TO_ST[np.dtype(dtype)]
 

@@ -74,6 +74,35 @@ def save_train_state(path, *, global_step: int, micro_step: int,
     write_streaming(Path(path), tensors, metadata={"json": json.dumps(meta)})
 
 
+def check_resume_global_batch(resume_meta: dict, global_batch: int) -> None:
+    """Refuse resuming onto a mesh that changes the schedule's global batch.
+
+    The image/timestep schedules are pure functions of
+    ``global_batch = BATCH_SIZE x dp`` (data/schedule.py); resuming a
+    state trained at one global batch on a mesh that implies another would
+    silently reinterpret the entire remaining schedule — breaking the
+    bit-exact resume contract the reference keeps by pickling its RNG
+    states (/root/reference/train.py:2515-2531).  We persist the basis in
+    the train state and fail loudly on mismatch instead.
+    """
+    saved = resume_meta.get("schedule_global_batch")
+    if saved is None:
+        print("WARNING: resume state predates the schedule-global-batch "
+              "guard; cannot verify the batch schedule basis matches. "
+              "Proceeding — ensure BATCH_SIZE x dp is unchanged from the "
+              "original run.")
+        return
+    if int(saved) != int(global_batch):
+        raise RuntimeError(
+            f"Resume refused: this training state was saved with a global "
+            f"batch of {int(saved)} (BATCH_SIZE x dp of the original run), "
+            f"but the current mesh/config implies {int(global_batch)}. "
+            f"Resuming would reinterpret the image/timestep schedules and "
+            f"break bit-exact resume. Adjust BATCH_SIZE or the device "
+            f"count/AOZORA_DEVICES so BATCH_SIZE x dp = {int(saved)}, or "
+            f"start a fresh run.")
+
+
 def load_train_state(path) -> tuple[dict, AdamWState]:
     """Returns (meta dict, AdamWState with numpy leaves keyed like params)."""
     import jax.numpy as jnp

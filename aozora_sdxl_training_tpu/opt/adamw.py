@@ -43,10 +43,19 @@ class AdamWConfig:
     # per-256-element fp32 absmax scales (the TPU-native analogue of
     # bitsandbytes' paged blockwise-8-bit state, train.py:2271-2289)
     momentum_dtype: Any = jnp.bfloat16
+    # bnb parity (/root/reference/train.py:2288,2318 min_8bit_size=4096):
+    # tensors smaller than this keep fp32 moments under int8_blockwise —
+    # a 32-element norm scale sharing one block absmax would wreck its
+    # Adam denominators for negligible HBM savings.
+    min_8bit_size: int = 4096
 
     @property
     def int8_state(self) -> bool:
         return self.momentum_dtype == "int8_blockwise"
+
+    def int8_for(self, n_elements: int) -> bool:
+        """Whether a tensor of ``n_elements`` gets int8-quantized moments."""
+        return self.int8_state and int(n_elements) >= int(self.min_8bit_size)
 
     @classmethod
     def from_params_dict(cls, raw: dict) -> "AdamWConfig":
@@ -61,6 +70,7 @@ class AdamWConfig:
             weight_decay=float(raw.get("weight_decay", 0.01)),
             debias_strength=float(raw.get("debias_strength", 1.0)),
             momentum_dtype=dtype,
+            min_8bit_size=int(raw.get("min_8bit_size", 4096)),
         )
 
 
@@ -114,9 +124,11 @@ def init_state(params, cfg: AdamWConfig, trainable_mask=None) -> AdamWState:
     def zeros(p, trainable):
         if not trainable:
             return jnp.zeros((), jnp.float32)
-        if cfg.int8_state:
+        if cfg.int8_for(p.size):
             return (jnp.zeros(p.shape, jnp.int8),
                     jnp.full((_int8_blocks(int(p.size)),), 1e-30, jnp.float32))
+        if cfg.int8_state:  # small-tensor exemption: fp32 state like bnb
+            return jnp.zeros(p.shape, jnp.float32)
         return jnp.zeros(p.shape, cfg.momentum_dtype)
 
     if trainable_mask is None:
@@ -127,11 +139,15 @@ def init_state(params, cfg: AdamWConfig, trainable_mask=None) -> AdamWState:
 
 
 def apply_updates(params, grads, state: AdamWState, cfg: AdamWConfig, *,
-                  lr, trainable_mask=None):
+                  lr, trainable_mask=None, return_update_sq: bool = False):
     """One AdamW step with Raven debias semantics. fp32 math, any storage dtype.
 
     ``lr`` is a traced scalar so LR-curve changes don't recompile.
-    Returns (new_params, new_state).
+    Returns (new_params, new_state), or with ``return_update_sq`` the
+    triple (new_params, new_state, update_sq): the squared global L2 norm
+    of the fp32 parameter delta, accumulated per tensor inside the update
+    loop — this keeps the low-memory fused step from needing both the old
+    and new parameter trees alive just for the diagnostic.
     """
     beta1, beta2 = cfg.betas
     step = state.step + 1
@@ -150,9 +166,10 @@ def apply_updates(params, grads, state: AdamWState, cfg: AdamWConfig, *,
 
     def update_one(p, g, m, v, trainable):
         if not trainable:
-            return p, m, v
+            return p, m, v, jnp.zeros((), jnp.float32)
         g32 = g.astype(jnp.float32)
-        if cfg.int8_state:
+        int8_here = cfg.int8_for(p.size)
+        if int8_here:
             m32 = dequantize_moment_int8(*m)
             v32 = dequantize_second_moment_int8(*v)
         else:
@@ -160,17 +177,21 @@ def apply_updates(params, grads, state: AdamWState, cfg: AdamWConfig, *,
             v32 = v.astype(jnp.float32)
         m32 = m32 * beta1 + g32 * (1.0 - beta1)
         v32 = v32 * beta2 + g32 * g32 * (1.0 - beta2)
-        p32 = p.astype(jnp.float32)
+        p32_orig = p.astype(jnp.float32)
+        p32 = p32_orig
         if cfg.weight_decay != 0.0:
             p32 = p32 * wd_factor
         denom = jnp.sqrt(v32) / sqrt_bc2 + cfg.eps
         p32 = p32 - step_size * m32 / denom
-        if cfg.int8_state:
+        upd_sq = jnp.sum((p32 - p32_orig) ** 2)
+        if int8_here:
             return (p32.astype(p.dtype), quantize_moment_int8(m32),
-                    quantize_second_moment_int8(v32))
+                    quantize_second_moment_int8(v32), upd_sq)
+        if cfg.int8_state:  # exempt small tensor: fp32 state
+            return p32.astype(p.dtype), m32, v32, upd_sq
         return (p32.astype(p.dtype),
                 m32.astype(cfg.momentum_dtype),
-                v32.astype(cfg.momentum_dtype))
+                v32.astype(cfg.momentum_dtype), upd_sq)
 
     flat_p, treedef = jax.tree.flatten(params)
     flat_g = treedef.flatten_up_to(grads)
@@ -179,18 +200,23 @@ def apply_updates(params, grads, state: AdamWState, cfg: AdamWConfig, *,
     flat_t = treedef.flatten_up_to(trainable_mask)
 
     new_p, new_m, new_v = [], [], []
+    update_sq = jnp.zeros((), jnp.float32)
     for p, g, m, v, t in zip(flat_p, flat_g, flat_m, flat_v, flat_t):
-        np_, nm, nv = update_one(p, g, m, v, t)
+        np_, nm, nv, usq = update_one(p, g, m, v, t)
         new_p.append(np_)
         new_m.append(nm)
         new_v.append(nv)
+        update_sq = update_sq + usq
 
-    return (
+    result = (
         jax.tree.unflatten(treedef, new_p),
         AdamWState(step=step,
                    exp_avg=jax.tree.unflatten(treedef, new_m),
                    exp_avg_sq=jax.tree.unflatten(treedef, new_v)),
     )
+    if return_update_sq:
+        return result + (update_sq,)
+    return result
 
 
 def global_grad_norm(grads, trainable_mask=None) -> jax.Array:

@@ -298,18 +298,18 @@ def read_gguf(path) -> tuple[dict, dict]:
 def export_checkpoint(input_path, output_path, *, quant: str = "q8_0",
                       keep_2d_only: bool = True) -> dict:
     """Quantize a safetensors checkpoint into a GGUF file."""
-    from ..ckpt.safetensors_io import is_float_dtype, load_all
+    from ..ckpt.safetensors_io import is_requantizable_dtype, load_all
     state = load_all(input_path)
     tensors: dict[str, tuple[np.ndarray, str]] = {}
     report = {"quantized": 0, "kept": 0}
     for name, arr in state.items():
         arr = np.asarray(arr)
-        eligible = (is_float_dtype(arr.dtype) and arr.size % QK == 0
+        eligible = (is_requantizable_dtype(arr.dtype) and arr.size % QK == 0
                     and (arr.ndim >= 2 or not keep_2d_only))
         if eligible and arr.ndim >= 2:
             tensors[name] = (arr.astype(np.float32), quant)
             report["quantized"] += 1
-        elif is_float_dtype(arr.dtype):
+        elif is_requantizable_dtype(arr.dtype):
             tensors[name] = (arr.astype(np.float32), "f16")
             report["kept"] += 1
         else:

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ckpt.safetensors_io import is_float_dtype
+from ..ckpt.safetensors_io import is_requantizable_dtype
 
 from . import quantize as q
 
@@ -169,7 +169,7 @@ def apply_profile(state: dict, assignment: dict[str, str],
             report["quantized"] += 1
             report["formats"][fmt] = report["formats"].get(fmt, 0) + 1
         else:
-            if keep_dtype is not None and is_float_dtype(tensor.dtype):
+            if keep_dtype is not None and is_requantizable_dtype(tensor.dtype):
                 tensor = tensor.astype(keep_dtype)
             out[key] = tensor
             report["kept"] += 1

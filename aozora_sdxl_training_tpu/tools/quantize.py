@@ -28,7 +28,7 @@ import re
 import ml_dtypes
 import numpy as np
 
-from ..ckpt.safetensors_io import is_float_dtype
+from ..ckpt.safetensors_io import is_requantizable_dtype
 
 F8_E4M3 = np.dtype(ml_dtypes.float8_e4m3fn)
 F8_E5M2 = np.dtype(ml_dtypes.float8_e5m2)
@@ -82,7 +82,7 @@ def is_full_quant_compatible_name(key: str) -> bool:
 def should_quantize(key: str, tensor: np.ndarray, preset: str = "target",
                     min_elements: int = 4096) -> bool:
     """Layer-selection policy (choose_save_dtype semantics, :238-268)."""
-    if not is_float_dtype(tensor.dtype) or not key.endswith(".weight"):
+    if not is_requantizable_dtype(tensor.dtype) or not key.endswith(".weight"):
         return False
     if preset == "all":
         return tensor.ndim >= 2 and is_full_quant_compatible_name(key)
@@ -314,7 +314,7 @@ def quant_info_tensor(format_name: str, **metadata) -> np.ndarray:
 
 
 def format_compatible(format_name: str, key: str, tensor: np.ndarray) -> bool:
-    if not key.endswith(".weight") or not is_float_dtype(tensor.dtype):
+    if not key.endswith(".weight") or not is_requantizable_dtype(tensor.dtype):
         return False
     if format_name == "ternary_1_58":
         return tensor.ndim == 2
@@ -397,7 +397,7 @@ def convert_state_dict(state: dict, format_choice: str = "e4m3",
             report["quantized"] += 1
             report["formats"][format_name] = report["formats"].get(format_name, 0) + 1
         else:
-            if keep_dtype is not None and is_float_dtype(tensor.dtype):
+            if keep_dtype is not None and is_requantizable_dtype(tensor.dtype):
                 tensor = tensor.astype(keep_dtype)
             out[key] = tensor
             report["kept"] += 1

@@ -30,8 +30,8 @@ import numpy as np
 
 from ..ckpt.anima_checkpoint import (load_dit_state, resolve_save_prefix,
                                      save_dit_model)
-from ..ckpt.train_state import (load_train_state, output_model_stem,
-                                save_train_state)
+from ..ckpt.train_state import (check_resume_global_batch, load_train_state,
+                                output_model_stem, save_train_state)
 from ..data.anima_cache import (AnimaLatentDataset, check_if_anima_caching_needed,
                                 precompute_and_cache_anima)
 from ..data.dataset import (BatchPrefetcher, pack_sample_schedule,
@@ -163,6 +163,8 @@ def run_anima_training(config, *, post_step_hook=None,
     from ..parallel import sharding as shard
     layout = shard.resolve_mesh_layout(config)
     global_batch = layout.global_batch
+    if resume_meta is not None:
+        check_resume_global_batch(resume_meta, global_batch)
 
     # ---- schedules ----
     dataset = AnimaLatentDataset(config)
@@ -322,7 +324,8 @@ def run_anima_training(config, *, post_step_hook=None,
             global_step=step, micro_step=micro_step,
             opt_state=jax.tree.map(np.asarray, opt_state),
             sampler_seed=initial_sampler_seed, sampler_epoch=0,
-            timestep_sampler_state=ts_sampler.state_dict())
+            timestep_sampler_state=ts_sampler.state_dict(),
+            extra={"schedule_global_batch": global_batch})
 
     for batch in prefetcher:
         if micro_step >= config.MAX_TRAIN_STEPS:

@@ -45,9 +45,12 @@ def interpolate_curve(points, x: float) -> float:
 class LRCurve:
     """Micro-step-indexed LR from the GUI's visual curve.
 
-    An empty curve is valid in the reference: the optimizer then runs at
-    the constant ``LEARNING_RATE`` (train.py:2259's fallback), so
-    ``fallback_lr`` materializes as a flat two-point curve."""
+    Empty-curve handling is an intentional divergence: the reference's
+    CustomCurveLRScheduler raises ValueError on an empty curve
+    (train.py:331) even though create_optimizer's initial LR falls back to
+    LEARNING_RATE (train.py:2259).  Here ``fallback_lr`` materializes as a
+    flat two-point curve so training proceeds at the constant LR instead
+    of crashing at scheduler construction."""
 
     def __init__(self, curve_points, total_micro_steps: int,
                  fallback_lr: float | None = None):

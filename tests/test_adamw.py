@@ -1,5 +1,6 @@
 """Raven-semantics AdamW: math parity with the reference optimizer."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -100,7 +101,7 @@ def test_int8_blockwise_adamw_tracks_fp32():
     params8 = {"w": jnp.asarray(p0)}
     params32 = {"w": jnp.asarray(p0)}
     cfg8 = adamw.AdamWConfig(momentum_dtype="int8_blockwise",
-                             debias_strength=1.0)
+                             debias_strength=1.0, min_8bit_size=0)
     cfg32 = adamw.AdamWConfig(momentum_dtype=jnp.float32, debias_strength=1.0)
     s8 = adamw.init_state(params8, cfg8)
     s32 = adamw.init_state(params32, cfg32)
@@ -118,7 +119,8 @@ def test_int8_blockwise_adamw_tracks_fp32():
 def test_int8_state_save_load_roundtrip(tmp_path):
     from aozora_sdxl_training_tpu.ckpt.train_state import (load_train_state,
                                                            save_train_state)
-    cfg = adamw.AdamWConfig(momentum_dtype="int8_blockwise")
+    cfg = adamw.AdamWConfig(momentum_dtype="int8_blockwise",
+                            min_8bit_size=0)
     params = {"w": jnp.ones((4, 300))}
     state = adamw.init_state(params, cfg)
     params, state = adamw.apply_updates(
@@ -135,3 +137,53 @@ def test_int8_state_save_load_roundtrip(tmp_path):
                                   np.asarray(state.exp_avg["w"][0]))
     np.testing.assert_allclose(np.asarray(loaded.exp_avg["w"][1]),
                                np.asarray(state.exp_avg["w"][1]))
+
+
+def test_min_8bit_size_exemption():
+    """bnb parity (/root/reference/train.py:2288,2318): tensors under
+    min_8bit_size keep fp32 moments under int8_blockwise; larger ones
+    quantize.  The mixed state updates correctly through apply_updates."""
+    cfg = adamw.AdamWConfig(momentum_dtype="int8_blockwise")  # default 4096
+    params = {"big": jnp.ones((64, 128)),   # 8192 -> int8
+              "small": jnp.ones((32,))}     # 32   -> fp32 exempt
+    state = adamw.init_state(params, cfg)
+    assert isinstance(state.exp_avg["big"], tuple)
+    assert not isinstance(state.exp_avg["small"], tuple)
+    assert state.exp_avg["small"].dtype == jnp.float32
+    g = {"big": jnp.full((64, 128), 0.1), "small": jnp.full((32,), 0.1)}
+    params2, state2 = adamw.apply_updates(params, g, state, cfg, lr=1e-3)
+    assert isinstance(state2.exp_avg["big"], tuple)
+    assert state2.exp_avg["small"].dtype == jnp.float32
+    # the exempt tensor's moment is exact (no quantization error)
+    np.testing.assert_allclose(np.asarray(state2.exp_avg["small"]),
+                               np.full((32,), 0.01), rtol=1e-6)
+    assert float(jnp.abs(params2["small"] - params["small"]).max()) > 0
+
+
+def test_resume_global_batch_guard():
+    """Resume guard (bit-exact resume contract): a state saved at one
+    schedule global batch refuses to resume on a mesh implying another;
+    matching and legacy (pre-guard) states pass."""
+    import pytest as _pytest
+    from aozora_sdxl_training_tpu.ckpt.train_state import (
+        check_resume_global_batch)
+    check_resume_global_batch({"schedule_global_batch": 8}, 8)
+    check_resume_global_batch({}, 8)  # legacy state: warn, don't raise
+    with _pytest.raises(RuntimeError, match="global batch of 8"):
+        check_resume_global_batch({"schedule_global_batch": 8}, 4)
+
+
+def test_train_state_persists_schedule_global_batch(tmp_path):
+    from aozora_sdxl_training_tpu.ckpt.train_state import (load_train_state,
+                                                           save_train_state)
+    cfg = adamw.AdamWConfig()
+    params = {"w": jnp.ones((8,))}
+    state = adamw.init_state(params, cfg)
+    path = tmp_path / "s.safetensors"
+    save_train_state(path, global_step=1, micro_step=2,
+                     opt_state=jax.tree.map(np.asarray, state),
+                     sampler_seed=1, sampler_epoch=0,
+                     timestep_sampler_state=None,
+                     extra={"schedule_global_batch": 8})
+    meta, _ = load_train_state(path)
+    assert meta["schedule_global_batch"] == 8

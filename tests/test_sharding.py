@@ -210,7 +210,8 @@ def test_int8_opt_state_shardings_tuple_leaves():
     must mirror the tuple structure and put_tree must place them."""
     params = init_params(TINY, jax.random.PRNGKey(2))
     trainable, _ = split_trainable(params, ["conv1", "conv2"])
-    opt_cfg = adamw.AdamWConfig(momentum_dtype="int8_blockwise")
+    opt_cfg = adamw.AdamWConfig(momentum_dtype="int8_blockwise",
+                               min_8bit_size=0)
     state = adamw.init_state(trainable, opt_cfg)
     mesh = shard.make_mesh(jax.devices(), dp=2, tp=4)
     sh = shard.opt_state_shardings(state, mesh)

@@ -9,6 +9,16 @@
 # See .claude/skills/verify/SKILL.md for what each probe asserts.
 set -euo pipefail
 ROOT=${1:-/tmp/aozora_smoke}
+# Guard the rm -rf below: the scratch root must live under /tmp and contain
+# "smoke" in its basename (a mistyped "~" or project path must never be wiped).
+case "$(basename "$ROOT")" in
+  *smoke*) ;;
+  *) echo "refusing scratch root '$ROOT': basename must contain 'smoke'"; exit 2 ;;
+esac
+case "$ROOT" in
+  /tmp/*) ;;
+  *) echo "refusing scratch root '$ROOT': must be under /tmp"; exit 2 ;;
+esac
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 export PYTHONPATH="$REPO" AOZORA_PLATFORM=cpu
 PY=(python)
