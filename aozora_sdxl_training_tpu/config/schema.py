@@ -110,6 +110,11 @@ def _fields() -> list[Field]:
         # TPU extension (no reference equivalent): Megatron-style tensor
         # parallelism over the mesh's tp axis; 1 = dp/FSDP only.
         Field("TENSOR_PARALLEL_SIZE", 1, SHARED),
+        # TPU extension: master-weight precision. "auto" lets
+        # train.memory_policy pick fp32 when it fits the HBM budget and
+        # fall back to bf16 master + fp32 update scratch (the reference's
+        # own training precision, raven.py) on a memory-tight single chip.
+        Field("MASTER_DTYPE", "auto", SHARED, nested_name="master_dtype"),
         Field("ANIMA_GRADIENT_CHECKPOINTING_MODE", "Full", ANIMA_ONLY),
         # --- Saving ---
         Field("SAVE_EVERY_N_STEPS", 1000, SHARED),

@@ -29,7 +29,8 @@ from .metrics import LiveMetrics
 from .process_runner import ProcessRunner, launch_trainer, request_force_save
 from .theme import THEME, GuiState, apply_to_ttk
 
-# keys exposed in the quick-edit form (the rest edit via JSON directly)
+# keys in the always-visible quick-edit form; EVERY schema key is editable
+# via the generated "All Settings..." window (ConfigFormWindow)
 FORM_KEYS = [
     "SINGLE_FILE_CHECKPOINT_PATH", "DIT_PATH", "OUTPUT_DIR", "OUTPUT_NAME",
     "MAX_TRAIN_STEPS", "BATCH_SIZE", "GRADIENT_ACCUMULATION_STEPS",
@@ -39,7 +40,10 @@ FORM_KEYS = [
 
 
 class ChartCanvas:
-    """Minimal tk.Canvas renderer for a ChartModel (line chart, autoscale)."""
+    """tk.Canvas renderer for a ChartModel with GraphPanel interaction:
+    wheel = zoom about the cursor, drag = pan, double-click = reset to
+    auto-follow, hover = nearest-point readout.  All window math lives in
+    charts.ViewWindow (unit-tested headless)."""
 
     def __init__(self, parent, model: ChartModel, theme=THEME,
                  width=560, height=170):
@@ -50,13 +54,79 @@ class ChartCanvas:
         self.canvas = tk.Canvas(parent, width=width, height=height,
                                 bg=theme.canvas, highlightthickness=1,
                                 highlightbackground=theme.border)
-        self._versions: list[int] = []
+        self._versions: tuple = ()
+        self._pads = (46, 8, 18, 16)  # l, r, t, b
+        self._drag_x: int | None = None
+        self._hover: str = ""
+        c = self.canvas
+        c.bind("<MouseWheel>", self._wheel)
+        c.bind("<Button-4>", lambda e: self._zoom(e, 0.8))
+        c.bind("<Button-5>", lambda e: self._zoom(e, 1.25))
+        c.bind("<ButtonPress-1>", self._press)
+        c.bind("<B1-Motion>", self._drag)
+        c.bind("<ButtonRelease-1>", lambda e: setattr(self, "_drag_x", None))
+        c.bind("<Double-Button-1>", self._reset)
+        c.bind("<Motion>", self._motion)
+        c.bind("<Leave>", lambda e: self._set_hover(""))
 
     def grid(self, **kw):
         self.canvas.grid(**kw)
 
+    # -- interaction ---------------------------------------------------
+    def _frac_at(self, x_px) -> float:
+        pad_l, pad_r, _, _ = self._pads
+        w = int(self.canvas.winfo_width()) or int(self.canvas["width"])
+        inner = max(w - pad_l - pad_r, 1)
+        return min(max((x_px - pad_l) / inner, 0.0), 1.0)
+
+    def _wheel(self, ev):
+        self._zoom(ev, 0.8 if ev.delta > 0 else 1.25)
+
+    def _zoom(self, ev, factor):
+        self.model.zoom_at(self._frac_at(ev.x), factor)
+        self._force_redraw()
+
+    def _press(self, ev):
+        self._drag_x = ev.x
+
+    def _drag(self, ev):
+        if self._drag_x is None:
+            return
+        pad_l, pad_r, _, _ = self._pads
+        w = int(self.canvas.winfo_width()) or int(self.canvas["width"])
+        inner = max(w - pad_l - pad_r, 1)
+        self.model.pan_fraction((self._drag_x - ev.x) / inner)
+        self._drag_x = ev.x
+        self._force_redraw()
+
+    def _reset(self, _ev):
+        self.model.reset_view()
+        self._force_redraw()
+
+    def _motion(self, ev):
+        x_lo, x_hi = self.model.view_range()
+        x = x_lo + self._frac_at(ev.x) * (x_hi - x_lo)
+        hit = self.model.nearest_point(x)
+        if hit is None:
+            self._set_hover("")
+            return
+        idx, (hx, hy) = hit
+        label = self.model.series[idx].label
+        self._set_hover(f"{label}: ({hx:g}, {hy:.5g})")
+
+    def _set_hover(self, text):
+        if text != self._hover:
+            self._hover = text
+            self._force_redraw()
+
+    def _force_redraw(self):
+        self._versions = ()
+        self.redraw()
+
+    # -- drawing -------------------------------------------------------
     def redraw(self) -> None:
-        versions = [s.version for s in self.model.series]
+        versions = (tuple(s.version for s in self.model.series),
+                    self.model.view.lo, self.model.view.hi, self._hover)
         if versions == self._versions:
             return
         self._versions = versions
@@ -64,8 +134,8 @@ class ChartCanvas:
         c.delete("all")
         w = int(c.winfo_width()) or int(c["width"])
         h = int(c.winfo_height()) or int(c["height"])
-        pad_l, pad_r, pad_t, pad_b = 46, 8, 18, 16
-        x_lo, x_hi = self.model.data_range()
+        pad_l, pad_r, pad_t, pad_b = self._pads
+        x_lo, x_hi = self.model.view_range()
         ys = [y for s in self.model.series if s.visible
               for _, y in s.visible_slice(x_lo, x_hi)]
         if not ys:
@@ -89,8 +159,14 @@ class ChartCanvas:
                           fill=self.theme.border)
             c.create_text(pad_l - 4, py(y), text=f"{y:.3g}", anchor="e",
                           fill=self.theme.text_muted, font=("TkDefaultFont", 7))
-        c.create_text(pad_l, 8, text=self.model.title, anchor="w",
+        title = self.model.title
+        if not self.model.view.is_auto:
+            title += "  [zoomed - double-click to reset]"
+        c.create_text(pad_l, 8, text=title, anchor="w",
                       fill=self.theme.accent, font=("TkDefaultFont", 8, "bold"))
+        if self._hover:
+            c.create_text(w - pad_r, 8, text=self._hover, anchor="e",
+                          fill=self.theme.text_muted, font=("TkDefaultFont", 7))
         for s in self.model.series:
             if not s.visible or len(s.data) < 2:
                 continue
@@ -100,6 +176,168 @@ class ChartCanvas:
                 coords.extend((px(x), py(y)))
             dash = () if s.line_style == "solid" else (4, 3)
             c.create_line(*coords, fill=s.color, width=s.linewidth, dash=dash)
+
+
+class DistributionCanvas:
+    """Live timestep/sigma histogram + mean-loss-by-bin overlay — the tk
+    rendering of the reference's LiveMetricsWidget distribution panels
+    (gui.py:1853-1943).  Data comes from LiveMetrics.{timestep_histogram,
+    sigma_histogram, mean_loss_by_*} each refresh."""
+
+    def __init__(self, parent, metrics_provider, theme=THEME,
+                 width=560, height=120, bins=25):
+        import tkinter as tk
+
+        self.metrics_provider = metrics_provider
+        self.theme = theme
+        self.bins = bins
+        self.canvas = tk.Canvas(parent, width=width, height=height,
+                                bg=theme.canvas, highlightthickness=1,
+                                highlightbackground=theme.border)
+        self._last: tuple = ()
+
+    def grid(self, **kw):
+        self.canvas.grid(**kw)
+
+    def redraw(self) -> None:
+        m = self.metrics_provider()
+        use_sigma = bool(m.sigmas)
+        if use_sigma:
+            edges, counts = m.sigma_histogram(self.bins)
+            _, means, _ = m.mean_loss_by_sigma(self.bins)
+            title = "Sigma distribution + mean loss by sigma"
+        else:
+            edges, counts = m.timestep_histogram(self.bins)
+            _, means, _ = m.mean_loss_by_timestep(self.bins)
+            title = "Timestep distribution + mean loss by timestep"
+        key = (tuple(counts), tuple(x if x is not None else -1
+                                    for x in means))
+        if key == self._last:
+            return
+        self._last = key
+        c = self.canvas
+        c.delete("all")
+        w = int(c.winfo_width()) or int(c["width"])
+        h = int(c.winfo_height()) or int(c["height"])
+        pad_l, pad_r, pad_t, pad_b = 46, 8, 16, 12
+        c.create_text(pad_l, 8, text=title, anchor="w",
+                      fill=self.theme.accent, font=("TkDefaultFont", 8, "bold"))
+        total = sum(counts)
+        if not total:
+            c.create_text(w // 2, h // 2, text="(no samples yet)",
+                          fill=self.theme.text_muted)
+            return
+        inner_w = w - pad_l - pad_r
+        inner_h = h - pad_t - pad_b
+        peak = max(counts) or 1
+        n = len(counts)
+        for i, count in enumerate(counts):
+            x0 = pad_l + inner_w * i / n
+            x1 = pad_l + inner_w * (i + 1) / n - 1
+            bar = inner_h * count / peak
+            c.create_rectangle(x0, h - pad_b - bar, x1, h - pad_b,
+                               fill=self.theme.accent, outline="")
+        known = [x for x in means if x is not None]
+        if known:
+            lo, hi = min(known), max(known)
+            span = (hi - lo) or 1e-9
+            coords = []
+            for i, mean in enumerate(means):
+                if mean is None:
+                    continue
+                cx = pad_l + inner_w * (i + 0.5) / n
+                cy = h - pad_b - inner_h * (mean - lo) / span
+                coords.extend((cx, cy))
+            if len(coords) >= 4:
+                c.create_line(*coords, fill=self.theme.danger, width=2)
+            c.create_text(w - pad_r, 8, anchor="e",
+                          text=f"mean loss {lo:.3f}..{hi:.3f}",
+                          fill=self.theme.text_muted, font=("TkDefaultFont", 7))
+
+
+class ConfigFormWindow:
+    """Toplevel with a form generated from EVERY schema Field for the
+    current mode (the reference builds a widget per config key,
+    gui.py:4034); booleans render as checkboxes, lists/dicts as JSON
+    entries, everything else as text entries coerced by schema defaults."""
+
+    def __init__(self, parent, flat: dict, mode_label: str, theme=THEME,
+                 on_apply=None, log=print):
+        import tkinter as tk
+        from tkinter import ttk
+
+        self.flat = flat
+        self.on_apply = on_apply or (lambda: None)
+        self.log = log
+        self.win = tk.Toplevel(parent)
+        self.win.title(f"All settings ({mode_label})")
+        self.win.configure(bg=theme.window)
+        self.win.geometry("720x640")
+
+        mode_key = schema.mode_key_from_label(mode_label)
+        keys = ["TRAINING_MODE"] + schema.mode_flat_keys(mode_key)
+
+        outer = ttk.Frame(self.win)
+        outer.pack(fill="both", expand=True)
+        canvas = tk.Canvas(outer, bg=theme.window, highlightthickness=0)
+        scroll = ttk.Scrollbar(outer, orient="vertical",
+                               command=canvas.yview)
+        body = ttk.Frame(canvas)
+        body.bind("<Configure>", lambda e: canvas.configure(
+            scrollregion=canvas.bbox("all")))
+        canvas.create_window((0, 0), window=body, anchor="nw")
+        canvas.configure(yscrollcommand=scroll.set)
+        canvas.pack(side="left", fill="both", expand=True)
+        scroll.pack(side="right", fill="y")
+
+        self.vars: dict = {}
+        for row, key in enumerate(keys):
+            default = schema.default_value(key)
+            value = flat.get(key, default)
+            ttk.Label(body, text=key).grid(row=row, column=0, sticky="w",
+                                           padx=4, pady=1)
+            if isinstance(default, bool):
+                var = tk.BooleanVar(value=bool(value))
+                ttk.Checkbutton(body, variable=var).grid(
+                    row=row, column=1, sticky="w")
+            elif isinstance(default, (list, dict)):
+                var = tk.StringVar(value=json.dumps(value))
+                ttk.Entry(body, textvariable=var, width=58).grid(
+                    row=row, column=1, sticky="we")
+            else:
+                var = tk.StringVar(value=str(value))
+                ttk.Entry(body, textvariable=var, width=58).grid(
+                    row=row, column=1, sticky="we")
+            self.vars[key] = var
+
+        ttk.Button(self.win, text="Apply", style="Accent.TButton",
+                   command=self.apply).pack(pady=4)
+
+    def apply(self):
+        errors = []
+        for key, var in self.vars.items():
+            default = schema.default_value(key)
+            raw = var.get()
+            try:
+                if isinstance(default, bool):
+                    value = bool(raw) if not isinstance(raw, str) else \
+                        raw.lower() in ("true", "1", "yes")
+                elif isinstance(default, (list, dict)):
+                    value = json.loads(raw) if isinstance(raw, str) else raw
+                elif isinstance(default, int):
+                    value = int(float(raw))
+                elif isinstance(default, float):
+                    value = float(raw)
+                else:
+                    value = raw
+            except (ValueError, json.JSONDecodeError) as e:
+                errors.append(f"{key}: {e}")
+                continue
+            self.flat[key] = value
+        for err in errors:
+            self.log(f"[gui] settings: kept previous value ({err})")
+        self.on_apply()
+        self.win.destroy()
 
 
 class EditorCanvas:
@@ -477,6 +715,8 @@ class TrainingApp:
                    command=self.open_curve_editor).pack(side="left", padx=6)
         ttk.Button(curves, text="Datasets...",
                    command=self.open_dataset_manager).pack(side="left")
+        ttk.Button(curves, text="All Settings...",
+                   command=self.open_all_settings).pack(side="left", padx=6)
 
         # buttons
         btns = ttk.Frame(top)
@@ -512,17 +752,22 @@ class TrainingApp:
         self.lr_canvas.grid(row=len(FORM_KEYS) + 6, column=0, columnspan=2,
                             sticky="we", pady=2)
         self._chart_fed = [0, 0, 0, 0]
+        # live timestep/sigma histogram + mean-loss-by-bin overlay
+        self.dist_canvas = DistributionCanvas(top, lambda: self.metrics,
+                                              self.theme)
+        self.dist_canvas.grid(row=len(FORM_KEYS) + 7, column=0, columnspan=2,
+                              sticky="we", pady=2)
 
         self.console = tk.Text(top, height=12, width=90, state="disabled",
                                bg=self.theme.deeply_nested,
                                fg=self.theme.text,
                                insertbackground=self.theme.text)
-        self.console.grid(row=len(FORM_KEYS) + 7, column=0, columnspan=2,
+        self.console.grid(row=len(FORM_KEYS) + 8, column=0, columnspan=2,
                           sticky="nsew")
         # latest in-training preview image (train/sampler.py announces
         # "INFO: preview image saved -> ..."; PNG loads via tk.PhotoImage)
         self.preview_label = ttk.Label(top, text="")
-        self.preview_label.grid(row=len(FORM_KEYS) + 8, column=0,
+        self.preview_label.grid(row=len(FORM_KEYS) + 9, column=0,
                                 columnspan=2, sticky="w")
         self._preview_shown: str | None = None
         self._preview_photo = None  # keep the PhotoImage ref alive
@@ -617,6 +862,18 @@ class TrainingApp:
                              self.theme, on_change=on_change,
                              log=self._log_line)
 
+    def open_all_settings(self):
+        # sync quick-edit entries into flat first so the full form shows them
+        self.flat = self.collect_flat()
+
+        def on_apply():
+            for key, var in self.entries.items():
+                var.set(str(self.flat.get(key, "")))
+            self._log_line("[gui] settings applied (full form)")
+
+        ConfigFormWindow(self.root, self.flat, self.mode_var.get(),
+                         self.theme, on_apply=on_apply, log=self._log_line)
+
     def _dataset_summary(self) -> str:
         n = len(self.datasets.datasets)
         return (f"Datasets: {n} | images with repeats: "
@@ -701,6 +958,7 @@ class TrainingApp:
         self._feed_charts()
         self.loss_canvas.redraw()
         self.lr_canvas.redraw()
+        self.dist_canvas.redraw()
         self.console.configure(state="normal")
         self.console.delete("1.0", "end")
         self.console.insert("1.0", "\n".join(self.log.tail(200)))

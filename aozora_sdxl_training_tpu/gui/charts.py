@@ -109,6 +109,53 @@ def sample(points, max_points: int):
     return _minmax_buckets(points, max_points)
 
 
+@dataclass
+class ViewWindow:
+    """Zoom/pan state over the x axis — the interaction half of the
+    reference's GraphPanel (gui.py:1276-1379 wheelEvent/mouseMoveEvent):
+    wheel zooms about the cursor, drag pans, double-click resets to
+    auto-follow (the window tracks the live data range while auto)."""
+
+    lo: float | None = None     # None/None = auto-follow the data range
+    hi: float | None = None
+    MIN_SPAN: float = 1e-9
+
+    @property
+    def is_auto(self) -> bool:
+        return self.lo is None or self.hi is None
+
+    def resolve(self, data_range: tuple[float, float]) -> tuple[float, float]:
+        if self.is_auto:
+            return data_range
+        return (self.lo, self.hi)
+
+    def zoom(self, factor: float, center_frac: float,
+             data_range: tuple[float, float]) -> None:
+        """factor < 1 zooms in; center_frac in [0,1] is the cursor position
+        within the current window (kept fixed on screen)."""
+        lo, hi = self.resolve(data_range)
+        span = max(hi - lo, self.MIN_SPAN)
+        new_span = max(span * max(factor, 1e-6), self.MIN_SPAN)
+        center = lo + span * min(max(center_frac, 0.0), 1.0)
+        self.lo = center - new_span * center_frac
+        self.hi = self.lo + new_span
+        # zooming out past the data returns to auto-follow
+        dlo, dhi = data_range
+        if self.lo <= dlo and self.hi >= dhi:
+            self.reset()
+
+    def pan(self, delta_frac: float,
+            data_range: tuple[float, float]) -> None:
+        """Shift the window by delta_frac of its span (drag)."""
+        lo, hi = self.resolve(data_range)
+        span = hi - lo
+        shift = span * delta_frac
+        self.lo, self.hi = lo + shift, hi + shift
+
+    def reset(self) -> None:
+        self.lo = self.hi = None
+
+
 class ChartModel:
     """A titled collection of series with a shared x data range."""
 
@@ -116,6 +163,7 @@ class ChartModel:
         self.title = title
         self.y_label = y_label
         self.series: list[Series] = []
+        self.view = ViewWindow()
 
     def add_line(self, label: str, color: str = "#c1845b", *,
                  max_points: int = 2000, linewidth: int = 2,
@@ -144,3 +192,32 @@ class ChartModel:
             return (0.0, 100.0)
         lo, hi = min(firsts), max(lasts)
         return (lo, hi if hi > lo else lo + 1)
+
+    # --- zoom / pan / hover (GraphPanel interaction semantics) ---
+
+    def view_range(self) -> tuple[float, float]:
+        return self.view.resolve(self.data_range())
+
+    def zoom_at(self, center_frac: float, factor: float) -> None:
+        self.view.zoom(factor, center_frac, self.data_range())
+
+    def pan_fraction(self, delta_frac: float) -> None:
+        self.view.pan(delta_frac, self.data_range())
+
+    def reset_view(self) -> None:
+        self.view.reset()
+
+    def nearest_point(self, x: float):
+        """(series_index, (x, y)) of the data point nearest to x across
+        visible series — the hover readout (gui.py:1390-1420)."""
+        best = None
+        for i, s in enumerate(self.series):
+            if not s.visible or not s.data:
+                continue
+            pos = bisect_left(s.x_values, x)
+            for p in (pos - 1, pos):
+                if 0 <= p < len(s.data):
+                    d = abs(s.data[p][0] - x)
+                    if best is None or d < best[0]:
+                        best = (d, i, s.data[p])
+        return (best[1], best[2]) if best else None

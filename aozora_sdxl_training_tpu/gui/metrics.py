@@ -58,6 +58,10 @@ class LiveMetrics:
         self.grad_clipped = Series()
         self.timesteps: deque = deque(maxlen=20000)
         self.sigmas: deque = deque(maxlen=20000)
+        # paired (ticket|sigma, loss) per progress line — feed the live
+        # histogram + mean-loss-by-bin diagnostics (gui.py:1853-1943)
+        self.ticket_loss: deque = deque(maxlen=20000)
+        self.sigma_loss: deque = deque(maxlen=20000)
         self.failures: list[str] = []
         self.preview_paths: list[str] = []
         self._step_ema = None
@@ -81,8 +85,11 @@ class LiveMetrics:
                               + (1 - self.ema_beta) * loss)
             self.loss_ema.append(step, self._step_ema)
             self.timesteps.append(ticket)
+            self.ticket_loss.append((ticket, loss))
             if is_ticket:
-                self.sigmas.append(float(m.group(5)))
+                sigma = float(m.group(5))
+                self.sigmas.append(sigma)
+                self.sigma_loss.append((sigma, loss))
             added = True
         m = OPTIM_RE.search(text)
         if m:
@@ -111,6 +118,53 @@ class LiveMetrics:
     @property
     def latest_preview(self) -> str | None:
         return self.preview_paths[-1] if self.preview_paths else None
+
+    # --- live distribution diagnostics (gui.py:1853-1943) ---
+
+    @staticmethod
+    def _histogram(values, bins: int, lo: float, hi: float):
+        """(edges[bins+1], counts[bins]) — pure python, no numpy needed in
+        the render path."""
+        bins = max(int(bins), 1)
+        span = max(hi - lo, 1e-12)
+        counts = [0] * bins
+        for v in values:
+            idx = int((float(v) - lo) / span * bins)
+            counts[min(max(idx, 0), bins - 1)] += 1
+        edges = [lo + span * i / bins for i in range(bins + 1)]
+        return edges, counts
+
+    def timestep_histogram(self, bins: int = 25, max_timestep: int = 1000):
+        """Sampled-timestep distribution so curve edits show their effect
+        live (reference timestep histogram, gui.py:1862-1890)."""
+        return self._histogram(self.timesteps, bins, 0.0, float(max_timestep))
+
+    def sigma_histogram(self, bins: int = 25):
+        """RF-mode sigma distribution (reference sigma histogram)."""
+        return self._histogram(self.sigmas, bins, 0.0, 1.0)
+
+    def _mean_loss_by(self, pairs, bins: int, lo: float, hi: float):
+        bins = max(int(bins), 1)
+        span = max(hi - lo, 1e-12)
+        sums = [0.0] * bins
+        counts = [0] * bins
+        for x, loss in pairs:
+            idx = min(max(int((float(x) - lo) / span * bins), 0), bins - 1)
+            sums[idx] += float(loss)
+            counts[idx] += 1
+        edges = [lo + span * i / bins for i in range(bins + 1)]
+        means = [(sums[i] / counts[i]) if counts[i] else None
+                 for i in range(bins)]
+        return edges, means, counts
+
+    def mean_loss_by_timestep(self, bins: int = 25, max_timestep: int = 1000):
+        """Per-timestep-bin mean loss — which noise levels the model finds
+        hard (reference mean-loss-by-sigma panel, gui.py:1896-1943)."""
+        return self._mean_loss_by(self.ticket_loss, bins, 0.0,
+                                  float(max_timestep))
+
+    def mean_loss_by_sigma(self, bins: int = 25):
+        return self._mean_loss_by(self.sigma_loss, bins, 0.0, 1.0)
 
     def status_line(self) -> str:
         parts = []

@@ -392,8 +392,82 @@ def decode_image(params: Params, latents: jax.Array, *,
     return x
 
 
-def decoder_param_shapes(cfg: WanVaeConfig) -> dict[str, tuple[int, ...]]:
-    """Image-mode (HWIO) decoder parameter shapes, for init/tests."""
+# --------------------------------------------------------------------------
+# Video-mode decode (B, T', H/8, W/8, z) -> (B, T, H, W, 3)
+# --------------------------------------------------------------------------
+# Inverse of encode_video's frame arithmetic: each temporal-upsample stage's
+# ``time_conv`` (C -> 2C causal conv) doubles frames 1.. by interleaving the
+# two output halves per input frame, while frame 0 passes through — the
+# mirror of the encoder's frame-0 bypass in _video_downsample — so
+# T' = 1 + k latent frames decode to T = 1 + 4k pixel frames.  The reference
+# strips the decoder entirely (no behavior to match); this follows Wan2.x's
+# Decoder3d structure with the same full-sequence causal-conv formulation
+# used for encode_video.
+
+def _video_upsample(params: Params, prefix: str, x: jax.Array,
+                    temporal: bool) -> jax.Array:
+    if temporal and x.shape[1] > 1:
+        if f"{prefix}.time_conv.weight" not in params:
+            raise ValueError(f"video decode needs {prefix}.time_conv weights "
+                             "(checkpoint loaded in image mode?)")
+        kernel = params[f"{prefix}.time_conv.weight"].astype(x.dtype)
+        kt = kernel.shape[0]
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1, 1), ((2 * (kt // 2), 0), (0, 0), (0, 0)),
+            dimension_numbers=("NTHWC", "THWIO", "NTHWC"))
+        bias = params.get(f"{prefix}.time_conv.bias")
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        b, t, h, w, c2 = y.shape
+        c = c2 // 2
+        # (B,T,H,W,2C) -> interleave the two halves: frames (t,0),(t,1),...
+        pairs = y.reshape(b, t, h, w, 2, c).transpose(0, 1, 4, 2, 3, 5)
+        doubled = pairs.reshape(b, 2 * t, h, w, c)
+        # frame 0 bypasses (mirror of the encoder's stride-2 bypass):
+        # keep x[0], then the doubled frames of inputs 1..
+        x = jnp.concatenate([x[:, :1], doubled[:, 2:]], axis=1)
+    return _video_map_frames(
+        lambda f: _conv2d(params, f"{prefix}.resample.1",
+                          _upsample_nearest_2x(f)), x)
+
+
+def decode_video(params: Params, latents: jax.Array, *,
+                 cfg: WanVaeConfig = WAN_VAE, denormalize: bool = True,
+                 compute_dtype=jnp.float32) -> jax.Array:
+    """Normalized latents (B, T', H/8, W/8, z) -> (B, 1+4(T'-1), H, W, 3)."""
+    x = latents.astype(compute_dtype)
+    if denormalize:
+        mean = jnp.asarray(LATENT_MEAN[: cfg.z_dim], x.dtype)
+        std = jnp.asarray(LATENT_STD[: cfg.z_dim], x.dtype)
+        x = x * std + mean
+    x = _causal_conv3d(params, "conv2", x)
+    x = _causal_conv3d(params, "decoder.conv1", x)
+    x = _video_residual_block(params, "decoder.middle.0", x)
+    x = _video_map_frames(
+        lambda f: _attention_block(params, "decoder.middle.1", f), x)
+    x = _video_residual_block(params, "decoder.middle.2", x)
+    # encoder temporally downsamples at stages (False, True, True); the
+    # decoder mirrors in reverse: first two upsample stages are temporal
+    temporal_flags = (True, True, False)
+    up_index = 0
+    for kind, name, _, _ in decoder_layout(cfg):
+        if kind == "res":
+            x = _video_residual_block(params, f"decoder.{name}", x)
+        else:
+            x = _video_upsample(params, f"decoder.{name}", x,
+                                temporal_flags[up_index])
+            up_index += 1
+    x = _channel_rms_norm(params, "decoder.head.0", x)
+    x = _causal_conv3d(params, "decoder.head.2", jax.nn.silu(x))
+    return x
+
+
+def decoder_param_shapes(cfg: WanVaeConfig, *,
+                         video: bool = False) -> dict[str, tuple[int, ...]]:
+    """Image-mode (HWIO) decoder parameter shapes, for init/tests.
+
+    ``video=True`` adds the temporal-upsample ``time_conv`` kernels
+    ((3,1,1,C,2C) causal convs) on the first two upsample stages."""
     mults = [cfg.dim_mult[-1]] + list(reversed(cfg.dim_mult))
     dims = [cfg.dim * m for m in mults]
     top = dims[0]
@@ -417,6 +491,7 @@ def decoder_param_shapes(cfg: WanVaeConfig) -> dict[str, tuple[int, ...]]:
     shapes["decoder.middle.1.proj.weight"] = (1, 1, top, top)
     shapes["decoder.middle.1.proj.bias"] = (top,)
     out_dim = cfg.dim
+    up_count = 0
     for kind, name, in_dim, out in decoder_layout(cfg):
         p = f"decoder.{name}"
         if kind == "res":
@@ -432,6 +507,10 @@ def decoder_param_shapes(cfg: WanVaeConfig) -> dict[str, tuple[int, ...]]:
         else:
             shapes[f"{p}.resample.1.weight"] = (3, 3, in_dim, out)
             shapes[f"{p}.resample.1.bias"] = (out,)
+            if video and up_count < 2:   # temporal stages (True, True, False)
+                shapes[f"{p}.time_conv.weight"] = (3, 1, 1, in_dim, 2 * in_dim)
+                shapes[f"{p}.time_conv.bias"] = (2 * in_dim,)
+            up_count += 1
         out_dim = out
     shapes["decoder.head.0.gamma"] = (out_dim,)
     shapes["decoder.head.2.weight"] = (3, 3, out_dim, 3)
@@ -440,8 +519,8 @@ def decoder_param_shapes(cfg: WanVaeConfig) -> dict[str, tuple[int, ...]]:
 
 
 def init_decoder_params(cfg: WanVaeConfig, key: jax.Array,
-                        dtype=jnp.float32) -> Params:
-    shapes = decoder_param_shapes(cfg)
+                        dtype=jnp.float32, *, video: bool = False) -> Params:
+    shapes = decoder_param_shapes(cfg, video=video)
     params: Params = {}
     keys = jax.random.split(key, len(shapes))
     for (name, shape), k in zip(sorted(shapes.items()), keys):

@@ -110,6 +110,7 @@ class AnimaPreviewRenderer:
             dit_cfg, steps, attn_impl=attn_impl, compute_dtype=compute_dtype)
         self._run = jax.jit(sampler)
         self._decode = None
+        self._decode_video = None
         if decoder is not None:
             from ..models.anima import wan_vae
             dec_params, vae_cfg = decoder
@@ -119,6 +120,15 @@ class AnimaPreviewRenderer:
                 return jnp.clip(px * 0.5 + 0.5, 0.0, 1.0)
 
             self._decode = jax.jit(decode)
+            # video-mode decode when the checkpoint carries the temporal
+            # upsample kernels: preview the whole clip as a filmstrip
+            if any(".time_conv." in k for k in dec_params):
+                def decode_clip(lat_bthwc):
+                    px = wan_vae.decode_video(dec_params, lat_bthwc,
+                                              cfg=vae_cfg)
+                    return jnp.clip(px * 0.5 + 0.5, 0.0, 1.0)
+
+                self._decode_video = jax.jit(decode_clip)
         self._cond = None
 
     def capture_conditioning(self, latents, prompt_emb, t5_ids) -> None:
@@ -146,7 +156,15 @@ class AnimaPreviewRenderer:
             lat = self._run(params, noise, prompt_emb, t5_ids)
             out = Path(output_dir) / "previews"
             out.mkdir(parents=True, exist_ok=True)
-            if self._decode is not None:
+            if self._decode_video is not None and lat.shape[1] > 1:
+                px = np.asarray(self._decode_video(lat))  # (B, T, H, W, 3)
+                # filmstrip: up to 5 evenly-spaced frames side by side
+                t = px.shape[1]
+                picks = sorted({0, t // 4, t // 2, 3 * t // 4, t - 1})
+                strip = np.concatenate([px[0, i] for i in picks], axis=1)
+                path = out / f"step_{optimizer_step}.png"
+                save_preview_png(path, strip[None])
+            elif self._decode is not None:
                 px = self._decode(lat[:, 0])   # (B, T', H, W, C) first frame
                 path = out / f"step_{optimizer_step}.png"
                 save_preview_png(path, np.asarray(px))

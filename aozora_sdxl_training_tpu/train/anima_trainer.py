@@ -55,15 +55,8 @@ def split_trainable_dit(params, exclude_keywords):
     return trainable, frozen
 
 
-def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
-                          compute_dtype, attn_impl, remat,
-                          spatial_strength: float = 0.0):
-    """``spatial_strength`` > 0 enables the line-art-masked loss: the
-    ``spatial_mask`` micro-step input then boosts per-pixel error by
-    ``1 + mask * strength`` (repair trainer, reference
-    train_anima_repair.py:2213-2217).  Pass spatial_mask=None when off."""
-    inv_ga = 1.0 / float(grad_accum_steps)
-
+def _make_anima_loss_fn(cfg: dit_mod.AnimaDiTConfig, *, compute_dtype,
+                        attn_impl, remat, spatial_strength: float):
     def loss_fn(trainable, frozen, latents, prompt_emb, t5_ids, tickets,
                 sample_mask, spatial_mask, loss_weights, seed, micro_step):
         from . import objectives as sdxl_obj
@@ -87,6 +80,23 @@ def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
             spatial_mask=spatial_mask, spatial_strength=spatial_strength)
         return loss, sigmas[0]
 
+    return loss_fn
+
+
+def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
+                          compute_dtype, attn_impl, remat,
+                          spatial_strength: float = 0.0,
+                          accum_dtype=jnp.float32):
+    """``spatial_strength`` > 0 enables the line-art-masked loss: the
+    ``spatial_mask`` micro-step input then boosts per-pixel error by
+    ``1 + mask * strength`` (repair trainer, reference
+    train_anima_repair.py:2213-2217).  Pass spatial_mask=None when off."""
+    inv_ga = 1.0 / float(grad_accum_steps)
+    loss_fn = _make_anima_loss_fn(cfg, compute_dtype=compute_dtype,
+                                  attn_impl=attn_impl, remat=remat,
+                                  spatial_strength=spatial_strength)
+    acc_dt = jnp.dtype(accum_dtype)
+
     def micro_step(trainable, frozen, grad_accum, latents, prompt_emb, t5_ids,
                    tickets, sample_mask, spatial_mask, loss_weights, seed,
                    micro_step_idx, keep):
@@ -94,11 +104,39 @@ def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
             trainable, frozen, latents, prompt_emb, t5_ids, tickets,
             sample_mask, spatial_mask, loss_weights, seed, micro_step_idx)
         new_accum = jax.tree.map(
-            lambda a, g: a * keep + g.astype(jnp.float32) * inv_ga,
+            lambda a, g: (a.astype(jnp.float32) * keep
+                          + g.astype(jnp.float32) * inv_ga).astype(acc_dt),
             grad_accum, grads)
         return loss, sigma0, new_accum
 
     return micro_step
+
+
+def make_anima_fused_step(cfg: dit_mod.AnimaDiTConfig, opt_cfg, *,
+                          clip_grad_norm, compute_dtype, attn_impl, remat,
+                          spatial_strength: float = 0.0):
+    """GA=1 low-memory path (mirror of train_step.make_fused_step): fwd +
+    bwd + clip + update in one donated-buffer program — no accum tree, so
+    full-model 2.09B single-chip training fits next to bf16 master weights
+    and int8 moments."""
+    loss_fn = _make_anima_loss_fn(cfg, compute_dtype=compute_dtype,
+                                  attn_impl=attn_impl, remat=remat,
+                                  spatial_strength=spatial_strength)
+
+    def fused_step(trainable, frozen, opt_state, latents, prompt_emb, t5_ids,
+                   tickets, sample_mask, spatial_mask, loss_weights, seed,
+                   micro_step_idx, lr):
+        (loss, sigma0), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, latents, prompt_emb, t5_ids, tickets,
+            sample_mask, spatial_mask, loss_weights, seed, micro_step_idx)
+        clipped, raw_norm = adamw.clip_by_global_norm(grads, clip_grad_norm)
+        new_params, new_state, update_sq = adamw.apply_updates(
+            trainable, clipped, opt_state, opt_cfg, lr=lr,
+            return_update_sq=True)
+        return (loss, sigma0, new_params, new_state, raw_norm,
+                jnp.sqrt(update_sq))
+
+    return fused_step
 
 
 def run_anima_training(config, *, post_step_hook=None,
@@ -142,22 +180,15 @@ def run_anima_training(config, *, post_step_hook=None,
     if check_if_anima_caching_needed(config):
         precompute_and_cache_anima(config)
 
-    # ---- model ----
+    # ---- model (weights convert to device AFTER the memory plan) ----
     print("\n--- Loading Anima DiT ---")
     state, detected_prefix = load_dit_state(model_to_load)
     dit_cfg = _dit_config_for_state(state)
-    params = dit_mod.params_from_torch_state(state, dit_cfg, dtype=jnp.float32)
-    del state
     save_prefix = resolve_save_prefix(config, detected_prefix)
     print(f"INFO: DiT key prefix: detected='{detected_prefix}' save='{save_prefix}'")
 
     from ..config.runtime import parse_exclude_targets
     exclude = parse_exclude_targets(getattr(config, "DIT_EXCLUDE_TARGETS", ""))
-    trainable, frozen = split_trainable_dit(params, exclude)
-    n_t = sum(int(p.size) for p in trainable.values())
-    n_f = sum(int(p.size) for p in frozen.values())
-    print(f"INFO: DiT Parameters: total={n_t + n_f:,} trainable={n_t:,} "
-          f"frozen={n_f:,}")
 
     # ---- mesh layout (decides the global batch the schedules use) ----
     from ..parallel import sharding as shard
@@ -182,7 +213,7 @@ def run_anima_training(config, *, post_step_hook=None,
     packed = pack_sample_schedule(schedule, global_batch)
     print(f"INFO: Precomputed batch schedule for {len(packed):,} step(s).")
 
-    # ---- optimizer / jit ----
+    # ---- optimizer / memory plan / jit ----
     opt_cfg = make_optimizer_config(config)
     lr_curve = curves.LRCurve(config.LR_CUSTOM_CURVE, config.MAX_TRAIN_STEPS,
                               fallback_lr=getattr(config, 'LEARNING_RATE', None))
@@ -198,6 +229,45 @@ def run_anima_training(config, *, post_step_hook=None,
     attn_impl = ("xla" if str(getattr(
         config, "MEMORY_EFFICIENT_ATTENTION", "sdpa")).lower()
         in ("xla", "einsum") or jax.default_backend() != "tpu" else "flash")
+
+    # state-dtype plan (low-memory single-chip mode): sized from the host
+    # state dict BEFORE any device conversion
+    from dataclasses import replace as _dc_replace
+
+    from . import memory_policy
+    sizes = {k: int(np.prod(np.shape(v))) for k, v in state.items()}
+    t_sizes, f_sizes = split_trainable_dit(sizes, exclude)
+    ps = max(int(dit_cfg.patch_spatial), 1)
+    max_tokens = max(
+        ((w // 8 // ps) * (h // 8 // ps) for (w, h) in dataset.bucket_keys),
+        default=64 * 64)
+    clip_frames = int(getattr(config, "ANIMA_VIDEO_FRAMES", 0) or 0)
+    if clip_frames > 1:
+        max_tokens *= 1 + max(clip_frames - 1, 0) // 4
+    plan = memory_policy.plan_anima_training(
+        trainable_elems=sum(t_sizes.values()),
+        frozen_elems=sum(f_sizes.values()),
+        batch_per_device=int(config.BATCH_SIZE), tokens=int(max_tokens),
+        ga_steps=int(config.GRADIENT_ACCUMULATION_STEPS), remat=remat,
+        dp_shard=(layout.dp if layout.use_mesh else 1),
+        requested_moment_dtype=opt_cfg.momentum_dtype,
+        budget_bytes=memory_policy.device_budget_bytes(layout.devices[0]),
+        master_override=str(getattr(config, "MASTER_DTYPE", "auto")))
+    print(memory_policy.describe_plan(plan))
+    if plan.moment_dtype != opt_cfg.momentum_dtype:
+        print("WARNING: moment storage downgraded to int8_blockwise to fit "
+              "the HBM budget (update math is unchanged — fp32 scratch).")
+        opt_cfg = _dc_replace(opt_cfg, momentum_dtype=plan.moment_dtype)
+
+    params = dit_mod.params_from_torch_state(state, dit_cfg,
+                                             dtype=plan.master_dtype)
+    del state
+    trainable, frozen = split_trainable_dit(params, exclude)
+    n_t = sum(int(p.size) for p in trainable.values())
+    n_f = sum(int(p.size) for p in frozen.values())
+    print(f"INFO: DiT Parameters: total={n_t + n_f:,} trainable={n_t:,} "
+          f"frozen={n_f:,}")
+
     lineart_enabled = bool(getattr(config,
                                    "ANIMA_REPAIR_LINEART_LOSS_ENABLED", False))
     lineart_strength = max(0.0, float(getattr(
@@ -205,12 +275,17 @@ def run_anima_training(config, *, post_step_hook=None,
     if lineart_enabled:
         print(f"INFO: Cached line-art loss: enabled=True, "
               f"max_weight={1.0 + lineart_strength:g}x")
+    clip = float(config.CLIP_GRAD_NORM)
     micro = make_anima_micro_step(
         dit_cfg, grad_accum_steps=config.GRADIENT_ACCUMULATION_STEPS,
         compute_dtype=config.compute_dtype, attn_impl=attn_impl, remat=remat,
+        spatial_strength=(lineart_strength if lineart_enabled else 0.0),
+        accum_dtype=(plan.accum_dtype or jnp.float32))
+    fused = (make_anima_fused_step(
+        dit_cfg, opt_cfg, clip_grad_norm=clip,
+        compute_dtype=config.compute_dtype, attn_impl=attn_impl, remat=remat,
         spatial_strength=(lineart_strength if lineart_enabled else 0.0))
-
-    clip = float(config.CLIP_GRAD_NORM)
+        if plan.fused_apply else None)
 
     def apply_(trainable, grad_accum, opt_state, lr):
         clipped, raw_norm = adamw.clip_by_global_norm(grad_accum, clip)
@@ -261,13 +336,29 @@ def run_anima_training(config, *, post_step_hook=None,
                           mesh_shardings["opt_state"], sh_r),
             out_shardings=(mesh_shardings["trainable"],
                            mesh_shardings["opt_state"], sh_r, sh_r))
+        fused_fn = (jax.jit(
+            fused, donate_argnums=(0, 2),
+            in_shardings=(mesh_shardings["trainable"],
+                          mesh_shardings["frozen"],
+                          mesh_shardings["opt_state"], sh_b, sh_b, sh_b,
+                          sh_b, sh_b, sh_b, sh_r, sh_r, sh_r, sh_r),
+            out_shardings=(sh_r, sh_r, mesh_shardings["trainable"],
+                           mesh_shardings["opt_state"], sh_r, sh_r))
+            if fused is not None else None)
     else:
         micro_fn = jax.jit(micro, donate_argnums=(2,))
         apply_fn = jax.jit(apply_, donate_argnums=(0, 1, 2))
+        fused_fn = (jax.jit(fused, donate_argnums=(0, 2))
+                    if fused is not None else None)
 
-    grad_accum = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
-    if mesh_shardings is not None:
-        grad_accum = shard.put_tree(grad_accum, mesh_shardings["grad_accum"])
+    grad_accum = None
+    if fused_fn is None:
+        grad_accum = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, plan.accum_dtype or jnp.float32),
+            trainable)
+        if mesh_shardings is not None:
+            grad_accum = shard.put_tree(grad_accum,
+                                        mesh_shardings["grad_accum"])
     seed_arr = jnp.asarray(int(config.SEED or 42), jnp.int32)
 
     qat_residuals = None
@@ -351,12 +442,25 @@ def run_anima_training(config, *, post_step_hook=None,
                    if lineart_enabled and spatial is not None else None)
         preview.capture_conditioning(latents, batch["prompt_emb"],
                                      batch["t5xxl_ids"])
-        loss_dev, sigma_dev, grad_accum = micro_fn(
-            trainable, frozen, grad_accum, jnp.asarray(latents),
-            jnp.asarray(batch["prompt_emb"]), jnp.asarray(batch["t5xxl_ids"]),
-            jnp.asarray(tickets), jnp.asarray(batch["sample_mask"]), spatial,
-            loss_weights, seed_arr,
-            jnp.asarray(micro_step, jnp.int32), jnp.asarray(keep, jnp.float32))
+        if fused_fn is not None:
+            # low-memory GA=1 path: fwd+bwd+clip+update in one program
+            lr = lr_curve.lr_at(micro_step)
+            (loss_dev, sigma_dev, trainable, opt_state, raw_norm,
+             update_norm) = fused_fn(
+                trainable, frozen, opt_state, jnp.asarray(latents),
+                jnp.asarray(batch["prompt_emb"]),
+                jnp.asarray(batch["t5xxl_ids"]),
+                jnp.asarray(tickets), jnp.asarray(batch["sample_mask"]),
+                spatial, loss_weights, seed_arr,
+                jnp.asarray(micro_step, jnp.int32),
+                jnp.asarray(lr, jnp.float32))
+        else:
+            loss_dev, sigma_dev, grad_accum = micro_fn(
+                trainable, frozen, grad_accum, jnp.asarray(latents),
+                jnp.asarray(batch["prompt_emb"]), jnp.asarray(batch["t5xxl_ids"]),
+                jnp.asarray(tickets), jnp.asarray(batch["sample_mask"]), spatial,
+                loss_weights, seed_arr,
+                jnp.asarray(micro_step, jnp.int32), jnp.asarray(keep, jnp.float32))
 
         loss_val = float(loss_dev)
         if profile_dir and micro_step == profile_window[1]:
@@ -366,14 +470,18 @@ def run_anima_training(config, *, post_step_hook=None,
         diag_losses.append(loss_val)
         block = None
         if micro_step % ga == 0:
-            lr = lr_curve.lr_at(micro_step)
-            trainable, opt_state, raw_norm, update_norm = apply_fn(
-                trainable, grad_accum, opt_state, jnp.asarray(lr, jnp.float32))
-            grad_accum = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
-                                      trainable)
-            if mesh_shardings is not None:
-                grad_accum = shard.put_tree(grad_accum,
-                                            mesh_shardings["grad_accum"])
+            if fused_fn is None:
+                lr = lr_curve.lr_at(micro_step)
+                trainable, opt_state, raw_norm, update_norm = apply_fn(
+                    trainable, grad_accum, opt_state,
+                    jnp.asarray(lr, jnp.float32))
+                grad_accum = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape,
+                                        plan.accum_dtype or jnp.float32),
+                    trainable)
+                if mesh_shardings is not None:
+                    grad_accum = shard.put_tree(grad_accum,
+                                                mesh_shardings["grad_accum"])
             optimizer_step += 1
             if project_fn is not None:
                 trainable, qat_residuals = project_fn(trainable, qat_residuals)

@@ -1,0 +1,341 @@
+"""Memory-aware training-policy selection (remat / attention / state dtypes).
+
+The reference "just works" at any resolution on a 12 GB GPU because Raven/
+Titan park optimizer state in CPU RAM and gradient-checkpointing is always
+on (/root/reference/training_utils/optimizers/raven.py:122-147,
+train.py:2660) — paying a ~15 s optimizer step and heavy recompute for the
+fit.  The TPU rebuild instead *plans*: given the model size, the trainable
+split, the largest bucket shape, and the device HBM budget, pick the fastest
+measured (attention, remat) configuration and the cheapest state layout that
+still fits — no env knobs required.
+
+Two stacked ladders:
+
+* **state ladder** (quality first): fp32 master weights + fp32 grad-accum
+  tree (the multi-chip/ small-model default, identical to round-2 behavior)
+  → fp32 master + fused GA=1 step (no accum tree) → bf16 master (the
+  reference's own training precision — raven.py updates through an fp32
+  scratch exactly like opt/adamw.apply_updates) with a bf16 accum tree or
+  the fused step → additionally int8-blockwise moments when the requested
+  moment dtype cannot fit (printed loudly; the update math is unchanged,
+  storage only).
+* **speed ladder** (per attention impl, fastest first): the r2-measured
+  e2e table from CLAUDE.md — flash+no-remat 248 ms < flash+hires 251 <
+  xla+hires 305 < xla+dots_no_logits 319 < full remat 353 (1024px b1
+  v5e-1).  Activation footprints are estimated per mode from the same
+  measurements' fit/OOM boundaries (conservative, linear in
+  batch x latent-pixels) and refined against the real compiler by
+  ``tools_dev/aot_memory_probe.py``.
+
+``plan_sdxl_training`` returns a :class:`MemoryPlan`; the trainer applies
+it wholesale.  Explicit knobs still win: ``AOZORA_SDXL_REMAT`` pins the
+remat mode, ``MASTER_DTYPE`` (config) pins the master precision.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+MB = 1024 * 1024
+GB = 1024 * MB
+
+# Estimated activation+workspace bytes per (batch x latent-pixel), bf16
+# compute, full SDXL-width UNet.  Calibrated from the r2 fit/OOM evidence
+# (see module docstring); deliberately conservative (high).
+_ACT_BYTES_PER_LATPIX = {
+    ("flash", False): 0.55 * MB,
+    ("xla", False): 0.85 * MB,
+    ("flash", "dots_no_logits_hires"): 0.30 * MB,
+    ("xla", "dots_no_logits_hires"): 0.33 * MB,
+    ("flash", "dots_no_logits"): 0.34 * MB,
+    ("xla", "dots_no_logits"): 0.34 * MB,
+    ("flash", "dots"): 0.66 * MB,
+    ("xla", "dots"): 0.70 * MB,
+    ("flash", True): 0.05 * MB,
+    ("xla", True): 0.05 * MB,
+}
+
+# Speed ladders: fastest-first (attn, remat) pairs, from the r2-measured
+# e2e table.  The flash kernel only wins where its level is NOT remated,
+# so flash is never paired with plain dots policies.
+_LADDER_FLASH = [
+    ("flash", False),
+    ("flash", "dots_no_logits_hires"),
+    ("xla", "dots_no_logits"),
+    ("flash", True),
+]
+_LADDER_XLA = [
+    ("xla", False),
+    ("xla", "dots_no_logits_hires"),
+    ("xla", "dots_no_logits"),
+    ("xla", True),
+]
+
+# Reserved headroom: XLA workspace, batch buffers (double-buffered
+# prefetch), preview/save transients, fragmentation slack.
+_RESERVE_BYTES = int(0.4 * GB)
+# multiplicative slack on the state accounting (replicated small tensors
+# under FSDP, allocator rounding)
+_STATE_SLACK = 1.02
+
+
+@dataclass(frozen=True)
+class MemoryPlan:
+    master_dtype: Any          # trainable master-weight dtype
+    frozen_dtype: Any          # frozen-parameter storage dtype
+    accum_dtype: Any | None    # grad-accum tree dtype; None = fused step
+    fused_apply: bool          # GA folded into the micro step (GA == 1)
+    moment_dtype: Any          # resolved moment storage (may downgrade)
+    attn_impl: str
+    remat: Any                 # False | True | mode string
+    est_bytes: int             # peak estimate at the chosen config
+    budget_bytes: int
+    reason: str                # human-readable selection trace
+
+    @property
+    def low_memory(self) -> bool:
+        return self.master_dtype == jnp.bfloat16
+
+
+def dtype_bytes(dtype) -> float:
+    if dtype == "int8_blockwise":
+        return 1.0 + 4.0 / 256.0          # int8 codes + fp32 block scales
+    return jnp.dtype(dtype).itemsize
+
+
+def device_budget_bytes(device=None) -> int | None:
+    """Per-device HBM budget, or None when the backend doesn't report one
+    (CPU/virtual meshes: treat as unconstrained)."""
+    dev = device or jax.devices()[0]
+    if dev.platform != "tpu":
+        return None
+    try:
+        stats = dev.memory_stats()
+        limit = int(stats.get("bytes_limit", 0))
+        return limit or None
+    except Exception:  # noqa: BLE001 — backends without memory_stats
+        return int(15.5 * GB)             # v5e default assumption
+
+
+def state_bytes(trainable_elems: int, frozen_elems: int, *,
+                master_dtype, frozen_dtype, accum_dtype, moment_dtype,
+                dp_shard: int = 1) -> dict[str, int]:
+    """Per-device resident + transient state accounting.
+
+    Under FSDP the master/moment/accum trees shard over ``dp_shard``
+    (small replicated tensors make this slightly optimistic; the 5%
+    slack term compensates).
+    """
+    shard = max(int(dp_shard), 1)
+    t, f = int(trainable_elems), int(frozen_elems)
+    master = t * dtype_bytes(master_dtype) / shard
+    frozen = f * dtype_bytes(frozen_dtype) / shard
+    moments = 2 * t * dtype_bytes(moment_dtype) / shard
+    accum = t * dtype_bytes(accum_dtype) / shard if accum_dtype else 0
+    # backward produces a full gradient tree in the master dtype; with
+    # grad clipping every leaf is alive until the global norm is known
+    grads = t * dtype_bytes(master_dtype) / shard
+    resident = master + frozen + moments + accum
+    return {"master": int(master), "frozen": int(frozen),
+            "moments": int(moments), "accum": int(accum),
+            "grads_transient": int(grads),
+            "resident": int(resident),
+            "peak_state": int((resident + grads) * _STATE_SLACK)}
+
+
+def activation_bytes(attn_impl: str, remat, batch: int,
+                     latent_pixels: int) -> int:
+    coeff = _ACT_BYTES_PER_LATPIX.get((attn_impl, remat))
+    if coeff is None:  # unknown combo: assume the worst measured
+        coeff = 0.9 * MB
+    return int(coeff * batch * latent_pixels)
+
+
+def _ladder_for(attn_pref: str):
+    return _LADDER_FLASH if attn_pref == "flash" else _LADDER_XLA
+
+
+def _state_candidates(ga_steps: int, master_override,
+                      requested_moment_dtype):
+    """Quality-first (master, accum, fused, moment) state layouts."""
+    out = []
+    if master_override and str(master_override) != "auto":
+        masters = [jnp.bfloat16 if "bfloat16" in str(master_override)
+                   else jnp.float32]
+    else:
+        masters = [jnp.float32, jnp.bfloat16]
+    for master in masters:
+        accum_opts: list[tuple[Any, bool]] = []
+        if master == jnp.float32:
+            accum_opts.append((jnp.float32, False))
+            if ga_steps == 1:
+                accum_opts.append((None, True))
+        else:
+            if ga_steps == 1:
+                accum_opts.append((None, True))
+            accum_opts.append((jnp.bfloat16, False))
+        moment_opts = [requested_moment_dtype]
+        if (master == jnp.bfloat16
+                and requested_moment_dtype != "int8_blockwise"):
+            moment_opts.append("int8_blockwise")
+        for accum_dtype, fused in accum_opts:
+            for moment in moment_opts:
+                out.append((master, accum_dtype, fused, moment))
+    return out
+
+
+# Anima DiT activation footprints (bytes per batch x token, 2048-wide
+# 28-block model, bf16 compute) keyed by the trainer's checkpointing mode
+# knob — crude but conservative bounds from the r2 probe evidence
+# (conservative+flash runs 4096 tokens b1 comfortably on v5e-1).
+_ANIMA_ACT_BYTES_PER_TOKEN = {
+    True: 0.10 * MB,            # Full checkpointing
+    "conservative": 0.60 * MB,  # saves mlp_down + flash (out,lse)
+    False: 2.0 * MB,            # no recompute
+}
+
+
+def plan_anima_training(*, trainable_elems: int, frozen_elems: int,
+                        batch_per_device: int, tokens: int, ga_steps: int,
+                        remat, dp_shard: int = 1,
+                        requested_moment_dtype: Any = jnp.bfloat16,
+                        budget_bytes: int | None = None,
+                        master_override: str | None = None) -> MemoryPlan:
+    """State-dtype plan for the Anima DiT trainer.
+
+    Unlike the SDXL planner this does NOT choose remat/attention — the
+    checkpointing mode is a user-facing reference-parity knob
+    (ANIMA_GRADIENT_CHECKPOINTING_MODE); only the master/accum/moment
+    layout is selected so full-model 2.09B single-chip training fits.
+    """
+    act = int(_ANIMA_ACT_BYTES_PER_TOKEN.get(remat, 2.0 * MB)
+              * batch_per_device * tokens)
+    trace: list[str] = []
+    best_fallback = None
+    for master, accum_dtype, fused, moment in _state_candidates(
+            ga_steps, master_override, requested_moment_dtype):
+        frozen_dtype = jnp.bfloat16 if master == jnp.bfloat16 else jnp.float32
+        st = state_bytes(trainable_elems, frozen_elems,
+                         master_dtype=master, frozen_dtype=frozen_dtype,
+                         accum_dtype=accum_dtype, moment_dtype=moment,
+                         dp_shard=dp_shard)
+        est = st["peak_state"] + act + _RESERVE_BYTES
+        fits = budget_bytes is None or est <= budget_bytes
+        trace.append(
+            f"{jnp.dtype(master).name}-master/"
+            f"{'fused' if fused else jnp.dtype(accum_dtype).name + '-accum'}/"
+            f"{moment if isinstance(moment, str) else jnp.dtype(moment).name}"
+            f"-moments: {est / GB:.2f} GB "
+            f"{'<=' if fits else '>'} {(budget_bytes or 0) / GB:.2f} -> "
+            f"{'SELECTED' if fits else 'skip'}")
+        plan = MemoryPlan(master_dtype=master, frozen_dtype=frozen_dtype,
+                          accum_dtype=accum_dtype, fused_apply=fused,
+                          moment_dtype=moment, attn_impl="flash",
+                          remat=remat, est_bytes=int(est),
+                          budget_bytes=int(budget_bytes or 0),
+                          reason="\n".join(trace))
+        if fits:
+            return plan
+        if best_fallback is None or est < best_fallback.est_bytes:
+            best_fallback = plan
+    print("WARNING: no Anima state layout fits the estimated HBM budget; "
+          "attempting the smallest candidate.\n" + "\n".join(trace))
+    return best_fallback
+
+
+def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
+                       batch_per_device: int, max_latent_pixels: int,
+                       ga_steps: int, dp_shard: int = 1,
+                       attn_pref: str = "flash",
+                       requested_moment_dtype: Any = jnp.bfloat16,
+                       budget_bytes: int | None = None,
+                       remat_override=None,
+                       master_override: str | None = None) -> MemoryPlan:
+    """Pick (master/accum/moment dtypes, fused-GA, attn, remat) for SDXL.
+
+    ``remat_override``/``master_override`` pin those axes when the user set
+    the AOZORA_SDXL_REMAT env var or the MASTER_DTYPE config key.
+    """
+    trace: list[str] = []
+    state_candidates = _state_candidates(ga_steps, master_override,
+                                         requested_moment_dtype)
+    ladder = _ladder_for(attn_pref)
+    if remat_override is not None:
+        ladder = [(attn_pref, remat_override)]
+
+    best_fallback = None  # smallest-estimate candidate, if nothing fits
+    for master, accum_dtype, fused, moment in state_candidates:
+        frozen_dtype = jnp.bfloat16 if master == jnp.bfloat16 else jnp.float32
+        st = state_bytes(trainable_elems, frozen_elems,
+                         master_dtype=master, frozen_dtype=frozen_dtype,
+                         accum_dtype=accum_dtype, moment_dtype=moment,
+                         dp_shard=dp_shard)
+        for attn_impl, remat in ladder:
+            act = activation_bytes(attn_impl, remat, batch_per_device,
+                                   max_latent_pixels)
+            est = st["peak_state"] + act + _RESERVE_BYTES
+            fits = budget_bytes is None or est <= budget_bytes
+            trace.append(
+                f"{jnp.dtype(master).name}-master/"
+                f"{'fused' if fused else jnp.dtype(accum_dtype).name + '-accum'}/"
+                f"{moment if isinstance(moment, str) else jnp.dtype(moment).name}-moments"
+                f" + {attn_impl}/remat={remat}: "
+                f"state {st['peak_state'] / GB:.2f} + act {act / GB:.2f} "
+                f"+ reserve {_RESERVE_BYTES / GB:.2f} = {est / GB:.2f} GB "
+                f"{'<= ' if fits else '> '}"
+                f"{(budget_bytes or 0) / GB:.2f} -> "
+                f"{'SELECTED' if fits else 'skip'}")
+            plan = MemoryPlan(
+                master_dtype=master, frozen_dtype=frozen_dtype,
+                accum_dtype=accum_dtype, fused_apply=fused,
+                moment_dtype=moment, attn_impl=attn_impl, remat=remat,
+                est_bytes=int(est), budget_bytes=int(budget_bytes or 0),
+                reason="\n".join(trace))
+            if fits:
+                return plan
+            if best_fallback is None or est < best_fallback.est_bytes:
+                best_fallback = plan
+
+    # Nothing fits the estimate.  The estimator is deliberately
+    # conservative, so attempt the smallest-footprint configuration with a
+    # loud warning instead of refusing — a genuine overflow will surface
+    # as a clear XLA OOM with this trace right above it.
+    print("WARNING: no training configuration fits the estimated per-device "
+          f"HBM budget of {(budget_bytes or 0) / GB:.2f} GB; proceeding "
+          "with the smallest-footprint candidate "
+          f"({best_fallback.est_bytes / GB:.2f} GB estimated). If this "
+          "OOMs: reduce BATCH_SIZE / bucket resolution, freeze more of "
+          "the model (UNET_EXCLUDE_TARGETS), or run on more chips (FSDP "
+          "shards master weights and moments across the dp axis).\n"
+          + "\n".join(trace))
+    return best_fallback
+
+
+def describe_plan(plan: MemoryPlan, *, verbose: bool = False) -> str:
+    budget = (f"{plan.budget_bytes / GB:.2f} GB" if plan.budget_bytes
+              else "unbounded")
+    lines = [
+        "INFO: Memory plan "
+        f"(budget {budget}, "
+        f"est peak {plan.est_bytes / GB:.2f} GB):",
+        f"INFO:   master weights: {jnp.dtype(plan.master_dtype).name}"
+        + ("  [LOW-MEMORY MODE: bf16 master via fp32 update scratch — "
+           "the reference's own training precision]" if plan.low_memory
+           else ""),
+        f"INFO:   grad accumulation: "
+        + ("fused into the train step (GA=1, no accum tree)"
+           if plan.fused_apply
+           else f"{jnp.dtype(plan.accum_dtype).name} accum tree"),
+        f"INFO:   moments: "
+        + (plan.moment_dtype if isinstance(plan.moment_dtype, str)
+           else jnp.dtype(plan.moment_dtype).name),
+        f"INFO:   attention: {plan.attn_impl}, remat: {plan.remat}",
+    ]
+    if verbose:
+        lines.append(plan.reason)
+    return "\n".join(lines)

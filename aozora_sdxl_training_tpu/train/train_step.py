@@ -55,6 +55,10 @@ class TrainStepConfig:
     attn_impl: str = "xla"
     compute_dtype: Any = jnp.bfloat16
     remat: bool = True
+    # grad-accum tree storage (memory_policy may pick bf16 in low-memory
+    # single-chip mode; the per-micro-step contribution is still computed
+    # in the gradient dtype and divided by GA before the cast)
+    accum_dtype: Any = jnp.float32
 
 
 def make_loss_fn(cfg: TrainStepConfig):
@@ -95,12 +99,46 @@ def make_micro_step(cfg: TrainStepConfig):
         (loss, sigma), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, frozen, latents, embeds, pooled, time_ids, timesteps,
             sample_mask, loss_weights, seed, micro_step_idx)
+        accum_dtype = jnp.dtype(cfg.accum_dtype)
         new_accum = jax.tree.map(
-            lambda a, g: a * keep + g.astype(jnp.float32) * inv_ga,
+            lambda a, g: (a.astype(jnp.float32) * keep
+                          + g.astype(jnp.float32) * inv_ga
+                          ).astype(accum_dtype),
             grad_accum, grads)
         return loss, sigma[0], new_accum
 
     return micro_step
+
+
+def make_fused_step(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig):
+    """GA=1 low-memory path: fwd + bwd + clip + optimizer update in ONE
+    compiled program with donated parameter/state buffers.
+
+    Eliminates the grad-accum tree entirely (~4.4 GB fp32 for the full
+    UNet) and lets XLA free each gradient right after its parameter's
+    update — the piece that makes full-UNet single-chip training fit in
+    16 GB next to bf16 master weights and int8 moments (VERDICT r2 #1).
+
+    fused(trainable, frozen, opt_state, batch..., lr) ->
+        (loss, sigma0, new_trainable, new_opt_state, raw_norm, update_norm)
+    """
+    loss_fn = make_loss_fn(cfg)
+
+    def fused_step(trainable, frozen, opt_state, latents, embeds, pooled,
+                   time_ids, timesteps, sample_mask, loss_weights, seed,
+                   micro_step_idx, lr):
+        (loss, sigma), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, latents, embeds, pooled, time_ids, timesteps,
+            sample_mask, loss_weights, seed, micro_step_idx)
+        clipped, raw_norm = adamw.clip_by_global_norm(
+            grads, cfg.clip_grad_norm)
+        new_params, new_state, update_sq = adamw.apply_updates(
+            trainable, clipped, opt_state, opt_cfg, lr=lr,
+            return_update_sq=True)
+        return (loss, sigma[0], new_params, new_state, raw_norm,
+                jnp.sqrt(update_sq))
+
+    return fused_step
 
 
 def make_apply_step(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig):
@@ -126,8 +164,8 @@ def make_apply_step(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig):
     return apply_step
 
 
-def zero_grad_accum(trainable: Params) -> Params:
-    return jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), trainable)
+def zero_grad_accum(trainable: Params, dtype=jnp.float32) -> Params:
+    return jax.tree.map(lambda p: jnp.zeros(p.shape, dtype), trainable)
 
 
 def jit_train_functions(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig,
@@ -158,3 +196,20 @@ def jit_train_functions(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig,
         apply_kw["out_shardings"] = (sh_t, sh_o, sh_r, sh_r)
 
     return (jax.jit(micro, **micro_kw), jax.jit(apply_, **apply_kw))
+
+
+def jit_fused_function(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig,
+                       *, shardings: dict | None = None):
+    """Compile the fused GA=1 step with donated params + optimizer state."""
+    fused = make_fused_step(cfg, opt_cfg)
+    kw: dict = dict(donate_argnums=(0, 2))
+    if shardings:
+        sh_t = shardings["trainable"]
+        sh_f = shardings["frozen"]
+        sh_o = shardings["opt_state"]
+        sh_b = shardings["batch"]
+        sh_r = shardings["replicated"]
+        kw["in_shardings"] = (sh_t, sh_f, sh_o, sh_b, sh_b, sh_b, sh_b, sh_b,
+                              sh_b, sh_r, sh_r, sh_r, sh_r)
+        kw["out_shardings"] = (sh_r, sh_r, sh_t, sh_o, sh_r, sh_r)
+    return jax.jit(fused, **kw)

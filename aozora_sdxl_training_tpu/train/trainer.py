@@ -28,8 +28,8 @@ import numpy as np
 
 from ..ckpt.sd_checkpoint import (detect_unet_io_channels, load_sd_tensors,
                                   save_merged_checkpoint)
-from ..ckpt.train_state import (load_train_state, output_model_stem,
-                                save_train_state)
+from ..ckpt.train_state import (check_resume_global_batch, load_train_state,
+                                output_model_stem, save_train_state)
 from ..data.cache_builder import check_if_caching_needed, precompute_and_cache
 from ..data.dataset import (BatchPrefetcher, CachedLatentDataset,
                             pack_sample_schedule, pad_batch_arrays)
@@ -132,6 +132,11 @@ def print_optimizer_summary(config, opt_cfg: adamw.AdamWConfig, trainable,
                   else jnp.dtype(opt_cfg.momentum_dtype).name)
     print(f"  - Momentum state:      HBM {dtype_name}, "
           f"sharded over {n_devices} device(s) (ZeRO)")
+    if opt_cfg.int8_state:
+        n_exempt = sum(1 for p in trainable.values()
+                       if int(p.size) < opt_cfg.min_8bit_size)
+        print(f"  - Min 8-bit size:      {opt_cfg.min_8bit_size} "
+              f"({n_exempt} small tensor(s) keep fp32 state)")
     print("  - Update math:         fused FP32 XLA kernel (no host offload)")
     print("=" * 58 + "\n")
 
@@ -170,12 +175,15 @@ def print_param_stats(trainable: dict, frozen: dict) -> None:
 
 
 def _sdxl_remat_mode():
-    """Rematerialization mode for the SDXL UNet (default: full remat, the
-    memory-safest — matches the reference always enabling gradient
-    checkpointing).  AOZORA_SDXL_REMAT={full,dots,dots_no_logits,off}
-    selects the measured alternatives (models/sdxl/unet._maybe_remat)."""
+    """Explicit rematerialization override for the SDXL UNet, or None when
+    unset — in which case train.memory_policy picks the fastest measured
+    mode that fits the device HBM budget.
+    AOZORA_SDXL_REMAT={full,dots,dots_no_logits,dots_no_logits_hires,off}
+    pins the mode (models/sdxl/unet._maybe_remat)."""
     import os
-    mode = os.environ.get("AOZORA_SDXL_REMAT", "full").strip().lower()
+    mode = os.environ.get("AOZORA_SDXL_REMAT", "").strip().lower()
+    if not mode or mode == "auto":
+        return None
     if mode in ("off", "none", "0", "false"):
         return False
     if mode in ("dots", "dots_no_batch", "dots_no_logits",
@@ -218,33 +226,19 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
     if check_if_caching_needed(config):
         precompute_and_cache(config)
 
-    # ---- model ----
+    # ---- model config (weights load AFTER the memory plan) ----
     print("\n--- Loading Model ---")
     if unet_cfg is None:
         unet_cfg = unet_config_for_checkpoint(
             model_to_load, sidecar_fallback=config.SINGLE_FILE_CHECKPOINT_PATH)
     print(f"INFO: Detected UNet configuration - in_channels: "
           f"{unet_cfg.in_channels}, out_channels: {unet_cfg.out_channels}")
-    sd_tensors = load_sd_tensors(model_to_load)
-    params = params_from_sd_state(sd_tensors, unet_cfg, dtype=jnp.float32)
-    # preview sampling (TPU extension): keep the VAE decoder half around
-    # when PREVIEW_EVERY_N_STEPS > 0 (train/sampler.py)
-    vae_decoder_params = None
-    if int(getattr(config, "PREVIEW_EVERY_N_STEPS", 0) or 0) > 0:
-        from ..models.sdxl import vae as vae_mod
-        try:
-            vae_decoder_params = vae_mod.params_from_sd_state(
-                sd_tensors, dtype=jnp.float32, include_decoder=True)
-        except ValueError as e:
-            print(f"WARNING: preview sampling disabled: {e}")
-    del sd_tensors
-
-    trainable, frozen = split_trainable(params, config.UNET_EXCLUDE_TARGETS)
-    print_param_stats(trainable, frozen)
 
     # ---- mesh layout (decides the global batch the schedules use) ----
     layout = shard.resolve_mesh_layout(config)
     global_batch = layout.global_batch
+    if resume_meta is not None:
+        check_resume_global_batch(resume_meta, global_batch)
 
     # ---- schedules ----
     print("\n--- Initializing Dataset ---")
@@ -264,8 +258,67 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
     packed_schedule = pack_sample_schedule(image_schedule, global_batch)
     print(f"INFO: Precomputed image batch schedule for {len(packed_schedule):,} step(s).")
 
-    # ---- optimizer / jit ----
+    # ---- memory plan (master/accum/moment dtypes, attn, remat) ----
+    from dataclasses import replace as _dc_replace
+
+    from ..models.sdxl.arch import param_shapes
+    from . import memory_policy
+
     opt_cfg = make_optimizer_config(config)
+    shapes = param_shapes(unet_cfg)
+    sizes = {n: int(np.prod(s)) for n, (s, _) in shapes.items()}
+    t_names, _ = split_trainable(sizes, config.UNET_EXCLUDE_TARGETS)
+    trainable_elems = sum(t_names.values())
+    frozen_elems = sum(sizes.values()) - trainable_elems
+    max_latpix = max(
+        ((w // 8) * (h // 8) for (w, h) in dataset.bucket_keys),
+        default=128 * 128)
+    # Attention backend switch (the reference's sdpa/cudnn/xformers knob,
+    # train.py:197-229): on TPU every CUDA-backend option maps to the
+    # hybrid path — Pallas flash kernel at long-KV self-attention
+    # (>= ops/attention.FLASH_MIN_KV tokens), XLA's fused attention
+    # below — the r2-measured e2e optimum.  "xla"/"einsum" opt out.
+    attn_pref = ("xla" if str(getattr(
+        config, "MEMORY_EFFICIENT_ATTENTION", "sdpa")).lower()
+        in ("xla", "einsum") or jax.default_backend() != "tpu"
+        else "flash")
+    plan = memory_policy.plan_sdxl_training(
+        trainable_elems=trainable_elems, frozen_elems=frozen_elems,
+        batch_per_device=int(config.BATCH_SIZE),
+        max_latent_pixels=int(max_latpix),
+        ga_steps=int(config.GRADIENT_ACCUMULATION_STEPS),
+        dp_shard=(layout.dp if layout.use_mesh else 1),
+        attn_pref=attn_pref,
+        requested_moment_dtype=opt_cfg.momentum_dtype,
+        budget_bytes=memory_policy.device_budget_bytes(layout.devices[0]),
+        remat_override=_sdxl_remat_mode(),
+        master_override=str(getattr(config, "MASTER_DTYPE", "auto")))
+    print(memory_policy.describe_plan(plan))
+    if plan.moment_dtype != opt_cfg.momentum_dtype:
+        print("WARNING: moment storage downgraded to int8_blockwise to fit "
+              "the HBM budget (update math is unchanged — fp32 scratch).")
+        opt_cfg = _dc_replace(opt_cfg, momentum_dtype=plan.moment_dtype)
+
+    # ---- model weights ----
+    sd_tensors = load_sd_tensors(model_to_load)
+    params = params_from_sd_state(sd_tensors, unet_cfg,
+                                  dtype=plan.master_dtype)
+    # preview sampling (TPU extension): keep the VAE decoder half around
+    # when PREVIEW_EVERY_N_STEPS > 0 (train/sampler.py)
+    vae_decoder_params = None
+    if int(getattr(config, "PREVIEW_EVERY_N_STEPS", 0) or 0) > 0:
+        from ..models.sdxl import vae as vae_mod
+        try:
+            vae_decoder_params = vae_mod.params_from_sd_state(
+                sd_tensors, dtype=jnp.float32, include_decoder=True)
+        except ValueError as e:
+            print(f"WARNING: preview sampling disabled: {e}")
+    del sd_tensors
+
+    trainable, frozen = split_trainable(params, config.UNET_EXCLUDE_TARGETS)
+    print_param_stats(trainable, frozen)
+
+    # ---- optimizer / jit ----
     lr_curve = curves.LRCurve(config.LR_CUSTOM_CURVE, config.MAX_TRAIN_STEPS,
                               fallback_lr=getattr(config, 'LEARNING_RATE', None))
     step_cfg = TrainStepConfig(
@@ -273,18 +326,10 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
         prediction_type=config.PREDICTION_TYPE,
         grad_accum_steps=config.GRADIENT_ACCUMULATION_STEPS,
         clip_grad_norm=float(config.CLIP_GRAD_NORM),
-        # Attention backend switch (the reference's sdpa/cudnn/xformers knob,
-        # train.py:197-229): on TPU every CUDA-backend option maps to the
-        # hybrid path — Pallas flash kernel at long-KV self-attention
-        # (>= ops/attention.FLASH_MIN_KV tokens), XLA's fused attention
-        # below — the r2-measured e2e optimum (266.5 vs 304.9 ms/step at
-        # 1024px b1 on v5e).  "xla"/"einsum" opt out of the kernel entirely.
-        attn_impl=("xla" if str(getattr(
-            config, "MEMORY_EFFICIENT_ATTENTION", "sdpa")).lower()
-            in ("xla", "einsum") or jax.default_backend() != "tpu"
-            else "flash"),
+        attn_impl=plan.attn_impl,
         compute_dtype=config.compute_dtype,
-        remat=_sdxl_remat_mode())
+        remat=plan.remat,
+        accum_dtype=(plan.accum_dtype or jnp.float32))
 
     from .sampler import PreviewRenderer
     preview = PreviewRenderer(config, unet_cfg,
@@ -327,9 +372,14 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
         frozen = shard.put_tree(frozen, shardings["frozen"])
         opt_state = shard.put_tree(opt_state, shardings["opt_state"])
 
-    micro_fn, apply_fn = jit_train_functions(step_cfg, opt_cfg,
-                                             shardings=shardings)
-    grad_accum = zero_grad_accum(trainable)
+    fused_fn = micro_fn = apply_fn = grad_accum = None
+    if plan.fused_apply:
+        from .train_step import jit_fused_function
+        fused_fn = jit_fused_function(step_cfg, opt_cfg, shardings=shardings)
+    else:
+        micro_fn, apply_fn = jit_train_functions(step_cfg, opt_cfg,
+                                                 shardings=shardings)
+        grad_accum = zero_grad_accum(trainable, step_cfg.accum_dtype)
     loss_weights = jnp.asarray(loss_weights_np)
     seed_arr = jnp.asarray(int(config.SEED or 42), jnp.int32)
 
@@ -408,7 +458,8 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
             state_file, global_step=step, micro_step=micro_step,
             opt_state=jax.tree.map(np.asarray, opt_state),
             sampler_seed=initial_sampler_seed, sampler_epoch=0,
-            timestep_sampler_state=ts_sampler.state_dict())
+            timestep_sampler_state=ts_sampler.state_dict(),
+            extra={"schedule_global_batch": global_batch})
 
     for batch in prefetcher:
         if micro_step >= config.MAX_TRAIN_STEPS:
@@ -430,23 +481,39 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
             tickets = tickets[np.arange(dev_b) % real_n]
         keep = 0.0 if (micro_step - 1) % ga == 0 else 1.0
 
-        loss_dev, sigma_dev, grad_accum = micro_fn(
-            trainable, frozen, grad_accum,
-            jnp.asarray(batch["latents"]), jnp.asarray(batch["embeds"]),
-            jnp.asarray(batch["pooled"]), jnp.asarray(batch["time_ids"]),
-            jnp.asarray(tickets), jnp.asarray(batch["sample_mask"]),
-            loss_weights, seed_arr,
-            jnp.asarray(micro_step, jnp.int32), jnp.asarray(keep, jnp.float32))
-
         diag = None
-        if micro_step % ga == 0:
+        if fused_fn is not None:
+            # low-memory GA=1 path: fwd+bwd+clip+update in one program,
+            # parameter/state buffers donated — no grad-accum tree exists
             lr = lr_curve.lr_at(micro_step)
-            trainable, opt_state, raw_norm, update_norm = apply_fn(
-                trainable, grad_accum, opt_state,
+            (loss_dev, sigma_dev, trainable, opt_state, raw_norm,
+             update_norm) = fused_fn(
+                trainable, frozen, opt_state,
+                jnp.asarray(batch["latents"]), jnp.asarray(batch["embeds"]),
+                jnp.asarray(batch["pooled"]), jnp.asarray(batch["time_ids"]),
+                jnp.asarray(tickets), jnp.asarray(batch["sample_mask"]),
+                loss_weights, seed_arr,
+                jnp.asarray(micro_step, jnp.int32),
                 jnp.asarray(lr, jnp.float32))
-            grad_accum = zero_grad_accum(trainable)
-            if shardings is not None:
-                grad_accum = shard.put_tree(grad_accum, shardings["grad_accum"])
+        else:
+            loss_dev, sigma_dev, grad_accum = micro_fn(
+                trainable, frozen, grad_accum,
+                jnp.asarray(batch["latents"]), jnp.asarray(batch["embeds"]),
+                jnp.asarray(batch["pooled"]), jnp.asarray(batch["time_ids"]),
+                jnp.asarray(tickets), jnp.asarray(batch["sample_mask"]),
+                loss_weights, seed_arr,
+                jnp.asarray(micro_step, jnp.int32), jnp.asarray(keep, jnp.float32))
+
+        if micro_step % ga == 0:
+            if fused_fn is None:
+                lr = lr_curve.lr_at(micro_step)
+                trainable, opt_state, raw_norm, update_norm = apply_fn(
+                    trainable, grad_accum, opt_state,
+                    jnp.asarray(lr, jnp.float32))
+                grad_accum = zero_grad_accum(trainable, step_cfg.accum_dtype)
+                if shardings is not None:
+                    grad_accum = shard.put_tree(grad_accum,
+                                                shardings["grad_accum"])
             optimizer_step += 1
             global_step = optimizer_step
             optim_dt = time.time() - last_optim_time

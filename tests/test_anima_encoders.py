@@ -317,3 +317,43 @@ def test_wan_decoder_layout_channel_contract():
             assert in_dim == prev_out, (name, in_dim, prev_out)
             prev_out = out_dim
         assert prev_out == cfg.dim  # head operates at base width
+
+
+def test_wan_decoder_video_mode():
+    """Video-mode decode (TPU extension): T'=1+k latent frames -> 1+4k
+    pixel frames (two temporal-doubling stages with frame-0 bypass), and a
+    single-frame clip decodes identically to the image path (the causal
+    temporal pad leaves only the last kernel slice active at T=1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aozora_sdxl_training_tpu.models.anima import wan_vae
+
+    cfg = wan_vae.TINY_WAN_VAE
+    dec = wan_vae.init_decoder_params(cfg, jax.random.PRNGKey(5), video=True)
+    rng = np.random.default_rng(6)
+
+    # frame arithmetic: T'=3 -> 2*3-1=5 -> 2*5-1=9 = 1+4(3-1)
+    z = jnp.asarray(rng.normal(size=(1, 3, 4, 4, cfg.z_dim)), jnp.float32)
+    px = wan_vae.decode_video(dec, z, cfg=cfg)
+    assert px.shape == (1, 9, 32, 32, 3)
+    assert bool(jnp.isfinite(px).all())
+
+    # T'=1 collapses to the image decoder exactly
+    z1 = jnp.asarray(rng.normal(size=(1, 1, 4, 4, cfg.z_dim)), jnp.float32)
+    vid = wan_vae.decode_video(dec, z1, cfg=cfg)
+    img = wan_vae.decode_image(dec, z1[:, 0], cfg=cfg)
+    assert vid.shape == (1, 1, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(vid[:, 0]), np.asarray(img),
+                               rtol=2e-4, atol=2e-4)
+
+    # image-mode init (no time_conv) fails loudly on multi-frame decode
+    dec_img = wan_vae.init_decoder_params(cfg, jax.random.PRNGKey(5))
+    with np.testing.assert_raises(ValueError):
+        wan_vae.decode_video(dec_img, z, cfg=cfg)
+
+    # video round trip: decode -> encode keeps the latent clip shape
+    enc = wan_vae.init_params(cfg, jax.random.PRNGKey(7), video=True)
+    z2 = wan_vae.encode_video(enc, px, cfg=cfg)
+    assert z2.shape == z.shape

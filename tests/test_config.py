@@ -20,7 +20,7 @@ def test_flat_defaults_complete():
     # 79 reference keys + TPU extensions: TENSOR_PARALLEL_SIZE,
     # ANIMA_VIDEO_FRAMES, and the three repair keys (module constants in
     # the reference, train_anima_repair.py:97-98, 1474-1484)
-    assert len(schema.FLAT_KEYS) == 88
+    assert len(schema.FLAT_KEYS) == 89
 
 
 def test_defaults_are_deep_copied():

@@ -350,3 +350,102 @@ class TestDatasetManager:
         assert mgr.datasets[0].repeats == 1
         mgr.remove([0])
         assert len(mgr.datasets) == 1 and mgr.datasets[0].path == str(b)
+
+
+class TestViewWindow:
+    """Zoom/pan/reset semantics of charts.ViewWindow + ChartModel hover
+    (the GraphPanel interaction model, gui.py:1276-1420)."""
+
+    def _chart(self):
+        from aozora_sdxl_training_tpu.gui.charts import ChartModel
+        m = ChartModel("t")
+        m.add_line("a")
+        for x in range(101):
+            m.append(0, float(x), float(x % 7))
+        return m
+
+    def test_auto_follows_data(self):
+        m = self._chart()
+        assert m.view.is_auto
+        assert m.view_range() == m.data_range() == (0.0, 100.0)
+        m.append(0, 150.0, 1.0)
+        assert m.view_range() == (0.0, 150.0)  # still following
+
+    def test_zoom_in_freezes_window(self):
+        m = self._chart()
+        m.zoom_at(0.5, 0.5)  # halve the span about the center
+        lo, hi = m.view_range()
+        assert (lo, hi) == (25.0, 75.0)
+        m.append(0, 200.0, 1.0)
+        assert m.view_range() == (25.0, 75.0)  # zoomed: no follow
+
+    def test_zoom_about_cursor_keeps_center(self):
+        m = self._chart()
+        m.zoom_at(0.25, 0.5)
+        lo, hi = m.view_range()
+        # x at 25% of the old window stays at 25% of the new one
+        assert lo + 0.25 * (hi - lo) == pytest.approx(25.0)
+
+    def test_zoom_out_past_data_returns_to_auto(self):
+        m = self._chart()
+        m.zoom_at(0.5, 0.5)
+        m.zoom_at(0.5, 4.0)  # zoom out well past the data range
+        assert m.view.is_auto
+
+    def test_pan_shifts_by_fraction_of_span(self):
+        m = self._chart()
+        m.zoom_at(0.5, 0.5)          # window (25, 75)
+        m.pan_fraction(0.1)          # +5
+        assert m.view_range() == (30.0, 80.0)
+
+    def test_reset_restores_follow(self):
+        m = self._chart()
+        m.zoom_at(0.5, 0.5)
+        m.reset_view()
+        assert m.view.is_auto
+
+    def test_nearest_point_hover(self):
+        m = self._chart()
+        idx, (x, y) = m.nearest_point(42.4)
+        assert idx == 0 and x == 42.0 and y == 42 % 7
+        m.series[0].visible = False
+        assert m.nearest_point(42.4) is None
+
+
+class TestLiveDistributions:
+    """Timestep/sigma histograms + mean-loss-by-bin (LiveMetrics)."""
+
+    def _metrics_with_lines(self, lines):
+        from aozora_sdxl_training_tpu.gui.metrics import LiveMetrics
+        m = LiveMetrics()
+        for line in lines:
+            m.parse_line(line)
+        return m
+
+    def test_timestep_histogram_and_mean_loss(self):
+        lines = [
+            "Training |##| 1/10 [00:01] [Loss: 0.50, Timestep: 100]",
+            "Training |##| 2/10 [00:01] [Loss: 0.70, Timestep: 120]",
+            "Training |##| 3/10 [00:01] [Loss: 0.20, Timestep: 900]",
+        ]
+        m = self._metrics_with_lines(lines)
+        edges, counts = m.timestep_histogram(bins=10)
+        assert len(edges) == 11 and len(counts) == 10
+        assert counts[1] == 2 and counts[9] == 1 and sum(counts) == 3
+        _, means, cts = m.mean_loss_by_timestep(bins=10)
+        assert means[1] == pytest.approx(0.6)
+        assert means[9] == pytest.approx(0.2)
+        assert means[0] is None and cts[0] == 0
+
+    def test_sigma_histogram_rf_mode(self):
+        lines = [
+            "Training |##| 1/10 [00:01] [Loss: 0.40, Ticket: 100, Sigma: 0.110000]",
+            "Training |##| 2/10 [00:01] [Loss: 0.60, Ticket: 200, Sigma: 0.150000]",
+            "Training |##| 3/10 [00:01] [Loss: 1.00, Ticket: 800, Sigma: 0.950000]",
+        ]
+        m = self._metrics_with_lines(lines)
+        edges, counts = m.sigma_histogram(bins=10)
+        assert counts[1] == 2 and counts[9] == 1
+        _, means, _ = m.mean_loss_by_sigma(bins=10)
+        assert means[1] == pytest.approx(0.5)
+        assert means[9] == pytest.approx(1.0)

@@ -1,0 +1,177 @@
+"""Memory-aware policy selection (train/memory_policy.py).
+
+Pins the selection table for the configurations that matter (VERDICT r2
+items #1/#4): full-SDXL single chip must drop to the low-memory mode
+(bf16 master + fused GA + int8 moments + full remat), a v5e-8 FSDP run
+keeps fp32 master and gets the fast no-remat flash config, and explicit
+overrides always win.  Also checks fused-step == micro+apply numerics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aozora_sdxl_training_tpu.train import memory_policy as mp
+
+GB = mp.GB
+
+# full SDXL with the shipped default excludes (conv1, conv2):
+# 2.271B trainable / 0.297B frozen (models/sdxl/arch.py)
+SDXL_T = 2_271_000_000
+SDXL_F = 297_000_000
+LATPIX_1024 = 128 * 128
+LATPIX_1536 = 192 * 192
+V5E = int(15.5 * GB)
+
+
+def plan(**kw):
+    args = dict(trainable_elems=SDXL_T, frozen_elems=SDXL_F,
+                batch_per_device=1, max_latent_pixels=LATPIX_1024,
+                ga_steps=1, dp_shard=1, attn_pref="flash",
+                requested_moment_dtype=jnp.bfloat16, budget_bytes=V5E)
+    args.update(kw)
+    return mp.plan_sdxl_training(**args)
+
+
+def test_single_chip_full_sdxl_needs_low_memory_mode():
+    p = plan()
+    assert p.master_dtype == jnp.bfloat16
+    assert p.fused_apply and p.accum_dtype is None
+    assert p.moment_dtype == "int8_blockwise"  # downgraded from bf16
+    assert p.remat is True                     # only full remat fits
+    assert p.est_bytes <= V5E
+
+
+def test_single_chip_int8_requested_stays_int8():
+    p = plan(requested_moment_dtype="int8_blockwise")
+    assert p.moment_dtype == "int8_blockwise"
+    assert p.master_dtype == jnp.bfloat16
+
+
+def test_v5e8_fsdp_keeps_fp32_master_and_fast_remat():
+    p = plan(dp_shard=8, ga_steps=4)
+    assert p.master_dtype == jnp.float32
+    assert p.accum_dtype == jnp.float32 and not p.fused_apply
+    assert p.moment_dtype == jnp.bfloat16      # no downgrade needed
+    assert (p.attn_impl, p.remat) == ("flash", False)  # fastest fits
+
+
+def test_unconstrained_budget_picks_fastest():
+    p = plan(budget_bytes=None, ga_steps=4)
+    assert p.master_dtype == jnp.float32
+    assert (p.attn_impl, p.remat) == ("flash", False)
+
+
+def test_1536px_single_chip_full_remat():
+    p = plan(max_latent_pixels=LATPIX_1536)
+    # CLAUDE.md r2: 1536px b1 OOMs under every dots policy single-chip;
+    # full remat + flash is the only fit — no env knob needed now
+    assert p.remat is True and p.attn_impl == "flash"
+
+
+def test_remat_override_wins():
+    p = plan(remat_override="dots_no_logits_hires", dp_shard=8, ga_steps=4)
+    assert p.remat == "dots_no_logits_hires"
+
+
+def test_master_override_wins():
+    p = plan(master_override="bfloat16", dp_shard=8, ga_steps=4)
+    assert p.master_dtype == jnp.bfloat16
+
+
+def test_xla_pref_never_selects_flash():
+    p = plan(attn_pref="xla", dp_shard=8, ga_steps=4)
+    assert p.attn_impl == "xla"
+
+
+def test_nothing_fits_falls_back_with_warning(capsys):
+    p = plan(budget_bytes=int(6 * GB))
+    assert p is not None  # smallest-footprint candidate, not an exception
+    assert "WARNING" in capsys.readouterr().out
+
+
+def test_ga_gt1_low_memory_uses_bf16_accum():
+    p = plan(ga_steps=4)
+    assert p.master_dtype == jnp.bfloat16
+    assert p.accum_dtype == jnp.bfloat16 and not p.fused_apply
+
+
+def test_fused_step_matches_micro_plus_apply():
+    """GA=1 fused program == micro_step + apply_step numerics."""
+    from aozora_sdxl_training_tpu.models.sdxl.arch import TINY
+    from aozora_sdxl_training_tpu.models.sdxl.unet import init_params
+    from aozora_sdxl_training_tpu.opt import adamw
+    from aozora_sdxl_training_tpu.train.train_step import (
+        TrainStepConfig, make_fused_step, make_micro_step, make_apply_step,
+        split_trainable, zero_grad_accum)
+
+    cfg = TrainStepConfig(unet=TINY, prediction_type="v_prediction",
+                          grad_accum_steps=1, clip_grad_norm=1.0,
+                          attn_impl="xla", compute_dtype=jnp.float32,
+                          remat=False)
+    opt_cfg = adamw.AdamWConfig(debias_strength=1.0)
+    params = init_params(TINY, jax.random.PRNGKey(0))
+    trainable, frozen = split_trainable(params, ["conv1"])
+    b, hw, seq = 2, 16, 7
+    key = jax.random.PRNGKey(1)
+    latents = jax.random.normal(key, (b, hw, hw, 4))
+    embeds = jax.random.normal(jax.random.fold_in(key, 1),
+                               (b, seq, TINY.cross_attention_dim))
+    pooled = jax.random.normal(jax.random.fold_in(key, 2),
+                               (b, TINY.pooled_projection_dim))
+    time_ids = jnp.ones((b, 6), jnp.float32)
+    tickets = jnp.asarray([100, 700], jnp.int32)
+    mask = jnp.ones((b,), jnp.float32)
+    weights = jnp.ones((1000,), jnp.float32)
+    seed = jnp.asarray(42, jnp.int32)
+    ms = jnp.asarray(1, jnp.int32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+
+    batch_args = (latents, embeds, pooled, time_ids, tickets, mask, weights,
+                  seed, ms)
+
+    state0 = adamw.init_state(trainable, opt_cfg)
+    # path A: micro + apply
+    micro = make_micro_step(cfg)
+    apply_ = make_apply_step(cfg, opt_cfg)
+    accum = zero_grad_accum(trainable)
+    loss_a, sigma_a, accum = micro(trainable, frozen, accum, *batch_args,
+                                   jnp.asarray(0.0))
+    params_a, state_a, raw_a, _ = apply_(trainable, accum, state0, lr)
+    # path B: fused
+    fused = make_fused_step(cfg, opt_cfg)
+    loss_b, sigma_b, params_b, state_b, raw_b, upd_b = fused(
+        trainable, frozen, state0, *batch_args, lr)
+
+    assert float(loss_a) == pytest.approx(float(loss_b), rel=1e-6)
+    assert float(raw_a) == pytest.approx(float(raw_b), rel=1e-5)
+    assert float(upd_b) > 0
+    for k in params_a:
+        np.testing.assert_allclose(np.asarray(params_a[k]),
+                                   np.asarray(params_b[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(np.asarray(state_a.exp_avg["conv_in.weight"]),
+                               np.asarray(state_b.exp_avg["conv_in.weight"]),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_anima_plan_single_chip_low_memory():
+    """2.09B DiT, full model trainable, one 16 GB chip: needs bf16 master
+    + fused GA + int8 moments under Full checkpointing."""
+    p = mp.plan_anima_training(
+        trainable_elems=2_090_000_000, frozen_elems=0, batch_per_device=1,
+        tokens=4096, ga_steps=1, remat=True, dp_shard=1,
+        requested_moment_dtype=jnp.bfloat16, budget_bytes=V5E)
+    assert p.master_dtype == jnp.bfloat16
+    assert p.fused_apply and p.moment_dtype == "int8_blockwise"
+    assert p.est_bytes <= V5E
+
+
+def test_anima_plan_fsdp_keeps_fp32():
+    p = mp.plan_anima_training(
+        trainable_elems=2_090_000_000, frozen_elems=0, batch_per_device=1,
+        tokens=4096, ga_steps=4, remat="conservative", dp_shard=8,
+        requested_moment_dtype=jnp.bfloat16, budget_bytes=V5E)
+    assert p.master_dtype == jnp.float32
+    assert p.accum_dtype == jnp.float32 and p.moment_dtype == jnp.bfloat16

@@ -121,5 +121,20 @@ head -3 "$ROOT/diff.json"
 "${PY[@]}" -m aozora_sdxl_training_tpu.tools.hash_checker \
     out/anima_verify.safetensors | grep -E "legacy_model_hash"
 
+step "dynamic quant profiles calibrated on the trainer's own cache"
+"${PY[@]}" -m aozora_sdxl_training_tpu.tools.profile_quants \
+    out/anima_verify.safetensors "$ROOT/anima/dit_dyn_calib.safetensors" \
+    --mode dynamic --format ternary --preset target --max-layers 2 \
+    --promote-threshold 0.2 \
+    --cache-dir "$ROOT/anima/data/.precomputed_anima_dit_cache" \
+    | grep -E "calibration batch from cache|assignment_counts" \
+    || { echo "profile_quants cache calibration FAILED"; exit 1; }
+"${PY[@]}" -m aozora_sdxl_training_tpu.tools.profile_quants \
+    out/anima_verify.safetensors "$ROOT/anima/dit_cf_calib.safetensors" \
+    --mode compression_first --preset target --error-budget 0.5 \
+    --cache-dir "$ROOT/anima/data/.precomputed_anima_dit_cache" \
+    | grep -E "quantized" \
+    || { echo "compression_first cache calibration FAILED"; exit 1; }
+
 echo
 echo "=== smoke_all: ALL PROBES GREEN ==="
