@@ -11,15 +11,21 @@
 set -euo pipefail
 ROOT=${1:-/root/fullsize_env}
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
-export PYTHONPATH="$REPO"
+# APPEND to PYTHONPATH — overwriting it clobbers the container's
+# sitecustomize dir (/root/.axon_site) and the TPU plugin never registers
+# ("Backend 'axon' is not in the list of known backends")
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 
 [ -f "$ROOT/preset.json" ] || python "$REPO/tools_dev/make_fullsize_env_sdxl.py" "$ROOT"
 
 cd "$ROOT"
 # The axon tunnel flaps (CLAUDE.md): "Backend 'axon' is not in the list of
-# known backends" recovers on its own — retry like bench.py does.
-for attempt in $(seq 1 20); do
+# known backends" recovers on its own — retry like bench.py does.  NOTE: a
+# separate preflight probe is a trap: the probe process's own session
+# teardown can make the immediately-following trainer attempt see the chip
+# as busy, so the trainer itself is the probe.
+for attempt in $(seq 1 40); do
   echo "=== full-size TPU training run (attempt $attempt, $(date)) ==="
   set +e
   time python -m aozora_sdxl_training_tpu.cli.train_sdxl --config preset.json \
@@ -28,8 +34,12 @@ for attempt in $(seq 1 20); do
   set -e
   grep -E "Memory plan|master|moments|attention|accum|Min 8|Encoding|Cached|Optimizer Step: (1|2|50|60) |checkpoint|complete|WARNING|Error" run.log | head -40 || true
   if [ $code -eq 0 ]; then break; fi
-  if grep -q "not in the list of known backends" run.log; then
-    echo "backend init failed (tunnel flap); retrying in 60s"
+  # Retry both failure modes of the flaky tunnel: backend never registers
+  # (init-time) and transport drops mid-run (UNAVAILABLE / Broken pipe on
+  # remote_compile or execute). The caching pass is incremental, so each
+  # retry resumes where the last attempt died.
+  if grep -qE "not in the list of known backends|UNAVAILABLE:|Broken pipe|Network Error|Connection reset|remote_compile" run.log; then
+    echo "tunnel flap (init or mid-run transport); retrying in 60s"
     sleep 60
     continue
   fi
