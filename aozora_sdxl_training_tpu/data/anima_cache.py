@@ -163,12 +163,19 @@ class AnimaCacheEncoders:
         qwen_tok = _load_hf_tokenizer(getattr(config, "TOKENIZER_PATH", ""))
         t5_tok = _load_hf_tokenizer(getattr(config, "TOKENIZER_T5XXL_PATH", ""))
 
-        qwen_fwd = jax.jit(lambda ids, mask: qwen3.qwen3_forward(
-            q_params, ids, mask, q_cfg))
+        # Params go in as jit ARGUMENTS (device_put once), not closures:
+        # closed-over weights are inlined as HLO constants and the multi-GB
+        # lowered program must cross the remote-compile tunnel.
+        q_params = jax.device_put(q_params)
+        vae_params = jax.device_put(vae_params)
+        _qwen_fwd = jax.jit(lambda p, ids, mask: qwen3.qwen3_forward(
+            p, ids, mask, q_cfg))
+        qwen_fwd = lambda ids, mask: _qwen_fwd(q_params, ids, mask)
         tiled = bool(getattr(config, "VAE_CACHING_TILED", True))
         tile_size = tuple(getattr(config, "VAE_CACHING_TILE_SIZE", [96, 96]))
         tile_stride = tuple(getattr(config, "VAE_CACHING_TILE_STRIDE", [72, 72]))
-        vae_jit = jax.jit(lambda px: wan_vae.encode_image(vae_params, px, cfg=v_cfg))
+        _vae_image = jax.jit(lambda p, px: wan_vae.encode_image(p, px, cfg=v_cfg))
+        vae_jit = lambda px: _vae_image(vae_params, px)
 
         def encode_prompt(captions: list[str]):
             ids, masks, t5_ids_list = [], [], []
@@ -194,8 +201,9 @@ class AnimaCacheEncoders:
                 out = np.asarray(vae_jit(jnp.asarray(px)), np.float32)
             return out[0]
 
-        clip_jit = jax.jit(lambda px: wan_vae.encode_video(vae_params, px,
-                                                           cfg=v_cfg))
+        _vae_video = jax.jit(lambda p, px: wan_vae.encode_video(p, px,
+                                                                cfg=v_cfg))
+        clip_jit = lambda px: _vae_video(vae_params, px)
 
         def encode_clip(frames_thwc: np.ndarray) -> np.ndarray:
             # full-frame causal-3D encode (one executable per (T, H, W));

@@ -225,15 +225,23 @@ class SdxlCacheEncoders:
             def normalize(lat_nhwc):
                 return np.asarray(normalize_scalar(lat_nhwc, shift, scale))
 
-        encode_text = jax.jit(lambda tl, tg: clip_mod.encode_dual_towers(
-            params_l, params_g, tl, tg, cfg_l=cfg_l, cfg_g=cfg_g))
+        # Pass params as jit ARGUMENTS (placed on device once), never close
+        # over them: closed-over weights become inline HLO constants — a
+        # 3.2 GB lowered program that must ship through the remote-compile
+        # tunnel on every cold compile.
+        params_l = jax.device_put(params_l)
+        params_g = jax.device_put(params_g)
+        vae_params = jax.device_put(vae_params)
+        _encode_text = jax.jit(lambda pl, pg, tl, tg: clip_mod.encode_dual_towers(
+            pl, pg, tl, tg, cfg_l=cfg_l, cfg_g=cfg_g))
+        encode_text = lambda tl, tg: _encode_text(params_l, params_g, tl, tg)
         # VAE encode is conv-dominated: measured on v5e at 1024px, the
         # flash path for the 16384-token mid attention is throughput-
         # neutral (8.5 vs 8.6 img/s/chip) and the OOM point is set by the
         # full-res conv activations, not the logits — so XLA stays the
         # default (tools_dev/cache_probe.py has the attn= knob)
-        encode_latents = jax.jit(lambda px: vae_mod.encoder_forward(
-            vae_params, px))
+        _encode_latents = jax.jit(vae_mod.encoder_forward)
+        encode_latents = lambda px: _encode_latents(vae_params, px)
         del sd
         tok_dir = Path(ckpt_path).parent / "tokenizer"
         tokenizer = resolve_tokenizer(tok_dir if tok_dir.exists() else None)

@@ -296,7 +296,11 @@ def encode_image_tiled(params: Params, pixels: np.ndarray, *,
     compiles one executable per distinct tile shape.
     """
     if encode_fn is None:
-        encode_fn = jax.jit(lambda px: encode_image(params, px, cfg=cfg))
+        # params as a jit argument (not a closure) so the weights are device
+        # buffers, not HLO constants embedded per tile-shape executable
+        dev_params = jax.device_put(params)
+        _fn = jax.jit(lambda p, px: encode_image(p, px, cfg=cfg))
+        encode_fn = lambda px: _fn(dev_params, px)
     b, height, width, _ = pixels.shape
     tile_h, tile_w = (t * 8 for t in tile_size)
     stride_h, stride_w = (s * 8 for s in tile_stride)

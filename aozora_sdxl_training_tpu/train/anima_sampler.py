@@ -114,21 +114,26 @@ class AnimaPreviewRenderer:
         if decoder is not None:
             from ..models.anima import wan_vae
             dec_params, vae_cfg = decoder
+            # decoder params as jit arguments (device_put once), not
+            # closures — closed-over weights inline as HLO constants and
+            # bloat the remote-compiled program
+            dec_params = jax.device_put(dec_params)
 
-            def decode(lat_bhwc):
-                px = wan_vae.decode_image(dec_params, lat_bhwc, cfg=vae_cfg)
+            def decode(p, lat_bhwc):
+                px = wan_vae.decode_image(p, lat_bhwc, cfg=vae_cfg)
                 return jnp.clip(px * 0.5 + 0.5, 0.0, 1.0)
 
-            self._decode = jax.jit(decode)
+            _decode = jax.jit(decode)
+            self._decode = lambda lat: _decode(dec_params, lat)
             # video-mode decode when the checkpoint carries the temporal
             # upsample kernels: preview the whole clip as a filmstrip
             if any(".time_conv." in k for k in dec_params):
-                def decode_clip(lat_bthwc):
-                    px = wan_vae.decode_video(dec_params, lat_bthwc,
-                                              cfg=vae_cfg)
+                def decode_clip(p, lat_bthwc):
+                    px = wan_vae.decode_video(p, lat_bthwc, cfg=vae_cfg)
                     return jnp.clip(px * 0.5 + 0.5, 0.0, 1.0)
 
-                self._decode_video = jax.jit(decode_clip)
+                _decode_video = jax.jit(decode_clip)
+                self._decode_video = lambda lat: _decode_video(dec_params, lat)
         self._cond = None
 
     def capture_conditioning(self, latents, prompt_emb, t5_ids) -> None:
