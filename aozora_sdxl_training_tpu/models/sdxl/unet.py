@@ -42,9 +42,24 @@ def _w(params: Params, name: str, dtype) -> jax.Array:
     return params[name].astype(dtype)
 
 
+def _conv_bwd_mode() -> str:
+    import os
+    return os.environ.get("AOZORA_CONV_BWD", "xla").lower()
+
+
 def conv2d(params: Params, name: str, x: jax.Array, *, stride: int = 1) -> jax.Array:
     kernel = _w(params, f"{name}.weight", x.dtype)
     kh, kw = kernel.shape[0], kernel.shape[1]
+    if kh == 3 and stride == 1 and _conv_bwd_mode() == "gemm":
+        # GEMM-decomposed backward (ops/conv.py): dW as nine big-K GEMMs
+        # instead of XLA's window-dilated conv transpose. A/B knob for the
+        # conv-bound 61% of the step; e2e timing decides (r2 rule).
+        from ...ops.conv import conv3x3_gemm_bwd
+        y = conv3x3_gemm_bwd(x, kernel)
+        bias = params.get(f"{name}.bias")
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
     # Explicit torch-style symmetric padding: 3x3 -> 1, 1x1 -> 0. (XLA "SAME"
     # places odd padding on the high side at stride 2, which diverges from
     # the checkpoint's training-time conv semantics.)
