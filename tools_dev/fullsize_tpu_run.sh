@@ -25,11 +25,29 @@ cd "$ROOT"
 # separate preflight probe is a trap: the probe process's own session
 # teardown can make the immediately-following trainer attempt see the chip
 # as busy, so the trainer itself is the probe.
+STALL_SECS=${STALL_SECS:-1500}
 for attempt in $(seq 1 40); do
   echo "=== full-size TPU training run (attempt $attempt, $(date)) ==="
   set +e
-  time python -m aozora_sdxl_training_tpu.cli.train_sdxl --config preset.json \
-      > run.log 2>&1
+  python -m aozora_sdxl_training_tpu.cli.train_sdxl --config preset.json \
+      > run.log 2>&1 &
+  PY=$!
+  # Stall watchdog: the tunnel can WEDGE (process sleeps forever on a
+  # device op, CLAUDE.md) — if run.log stops advancing for STALL_SECS,
+  # kill this attempt and let the loop retry. Progress lines flow every
+  # step once training starts; compiles print nothing for up to ~10 min,
+  # hence the generous default (25 min).
+  while kill -0 $PY 2>/dev/null; do
+    sleep 30
+    age=$(( $(date +%s) - $(stat -c %Y run.log) ))
+    if [ "$age" -gt "$STALL_SECS" ]; then
+      echo "watchdog: run.log silent for ${age}s — killing wedged attempt"
+      kill $PY 2>/dev/null; sleep 10; kill -9 $PY 2>/dev/null
+      echo "WATCHDOG_STALL" >> run.log
+      break
+    fi
+  done
+  wait $PY
   code=$?
   set -e
   grep -E "Memory plan|master|moments|attention|accum|Min 8|Encoding|Cached|Optimizer Step: (1|2|50|60) |checkpoint|complete|WARNING|Error" run.log | head -40 || true
@@ -38,7 +56,7 @@ for attempt in $(seq 1 40); do
   # (init-time) and transport drops mid-run (UNAVAILABLE / Broken pipe on
   # remote_compile or execute). The caching pass is incremental, so each
   # retry resumes where the last attempt died.
-  if grep -qE "not in the list of known backends|UNAVAILABLE:|Broken pipe|Network Error|Connection reset|remote_compile" run.log; then
+  if grep -qE "not in the list of known backends|UNAVAILABLE:|Broken pipe|Network Error|Connection reset|remote_compile|WATCHDOG_STALL" run.log; then
     echo "tunnel flap (init or mid-run transport); retrying in 60s"
     sleep 60
     continue
