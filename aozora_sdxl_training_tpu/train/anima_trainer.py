@@ -348,8 +348,17 @@ def run_anima_training(config, *, post_step_hook=None,
     else:
         micro_fn = jax.jit(micro, donate_argnums=(2,))
         apply_fn = jax.jit(apply_, donate_argnums=(0, 1, 2))
-        fused_fn = (jax.jit(fused, donate_argnums=(0, 2))
-                    if fused is not None else None)
+        if fused is not None and plan.moments_host:
+            # lowest-memory rung: moment trees live in pinned host memory
+            # and stream through the fused update
+            from .train_step import jit_moments_host
+            s_host = jax.sharding.SingleDeviceSharding(
+                layout.devices[0], memory_kind="pinned_host")
+            opt_state = jax.device_put(opt_state, s_host)
+            fused_fn = jit_moments_host(fused, layout.devices[0])
+        else:
+            fused_fn = (jax.jit(fused, donate_argnums=(0, 2))
+                        if fused is not None else None)
 
     grad_accum = None
     if fused_fn is None:

@@ -96,6 +96,7 @@ class MemoryPlan:
     est_bytes: int             # peak estimate at the chosen config
     budget_bytes: int
     reason: str                # human-readable selection trace
+    moments_host: bool = False  # optimizer moments parked in pinned_host
 
     @property
     def low_memory(self) -> bool:
@@ -124,12 +125,18 @@ def device_budget_bytes(device=None) -> int | None:
 
 def state_bytes(trainable_elems: int, frozen_elems: int, *,
                 master_dtype, frozen_dtype, accum_dtype, moment_dtype,
-                dp_shard: int = 1) -> dict[str, int]:
+                dp_shard: int = 1, moments_host: bool = False,
+                fused: bool = False) -> dict[str, int]:
     """Per-device resident + transient state accounting.
 
     Under FSDP the master/moment/accum trees shard over ``dp_shard``
     (small replicated tensors make this slightly optimistic; the 5%
-    slack term compensates).
+    slack term compensates).  ``moments_host=True`` parks the moment
+    trees in pinned host memory (they cost a streaming buffer, not HBM
+    residency).  ``fused=True`` adds the measured fused-step overhead:
+    the full-size compile shows ~16% HLO-temp fragmentation plus update
+    transients that the plain sum misses (r3 OOM report: est 14.77 GB
+    vs 16.88 GB actual at 1024px b1 full-SDXL).
     """
     shard = max(int(dp_shard), 1)
     t, f = int(trainable_elems), int(frozen_elems)
@@ -140,12 +147,23 @@ def state_bytes(trainable_elems: int, frozen_elems: int, *,
     # backward produces a full gradient tree in the master dtype; with
     # grad clipping every leaf is alive until the global norm is known
     grads = t * dtype_bytes(master_dtype) / shard
-    resident = master + frozen + moments + accum
+    if moments_host:
+        # moments stream through a bounded staging window, not residency
+        hbm_moments = int(0.5 * GB) if moments else 0
+    else:
+        hbm_moments = moments
+    resident = master + frozen + hbm_moments + accum
+    peak = (resident + grads) * _STATE_SLACK
+    if fused:
+        # fragmentation among ~800 odd-sized grad buffers interleaved
+        # with activation temps + fp32 update scratch, calibrated on the
+        # measured full-size compile (see docstring)
+        peak += 0.16 * grads + int(0.6 * GB)
     return {"master": int(master), "frozen": int(frozen),
             "moments": int(moments), "accum": int(accum),
             "grads_transient": int(grads),
             "resident": int(resident),
-            "peak_state": int((resident + grads) * _STATE_SLACK)}
+            "peak_state": int(peak)}
 
 
 def activation_bytes(attn_impl: str, remat, batch: int,
@@ -161,8 +179,18 @@ def _ladder_for(attn_pref: str):
 
 
 def _state_candidates(ga_steps: int, master_override,
-                      requested_moment_dtype):
-    """Quality-first (master, accum, fused, moment) state layouts."""
+                      requested_moment_dtype, *,
+                      allow_moments_host: bool = False):
+    """Quality-first (master, accum, fused, moment, moments_host) layouts.
+
+    The final rungs (``allow_moments_host``, single-chip GA=1 only) park
+    the moment trees in pinned host memory — the TPU-native equivalent
+    of the reference's Raven/Titan optimizer-state CPU offload
+    (/root/reference/training_utils/optimizers/raven.py:122-147), except
+    the update still runs fused on-device; only the state streams over
+    PCIe.  int8 moments go first there: once you're streaming, transfer
+    bytes are the step-time tax.
+    """
     out = []
     if master_override and str(master_override) != "auto":
         masters = [jnp.bfloat16 if "bfloat16" in str(master_override)
@@ -185,7 +213,11 @@ def _state_candidates(ga_steps: int, master_override,
             moment_opts.append("int8_blockwise")
         for accum_dtype, fused in accum_opts:
             for moment in moment_opts:
-                out.append((master, accum_dtype, fused, moment))
+                out.append((master, accum_dtype, fused, moment, False))
+    if allow_moments_host and ga_steps == 1 and jnp.bfloat16 in masters:
+        out.append((jnp.bfloat16, None, True, "int8_blockwise", True))
+        if requested_moment_dtype != "int8_blockwise":
+            out.append((jnp.bfloat16, None, True, jnp.bfloat16, True))
     return out
 
 
@@ -217,20 +249,21 @@ def plan_anima_training(*, trainable_elems: int, frozen_elems: int,
               * batch_per_device * tokens)
     trace: list[str] = []
     best_fallback = None
-    for master, accum_dtype, fused, moment in _state_candidates(
-            ga_steps, master_override, requested_moment_dtype):
+    for master, accum_dtype, fused, moment, host in _state_candidates(
+            ga_steps, master_override, requested_moment_dtype,
+            allow_moments_host=(dp_shard == 1)):
         frozen_dtype = jnp.bfloat16 if master == jnp.bfloat16 else jnp.float32
         st = state_bytes(trainable_elems, frozen_elems,
                          master_dtype=master, frozen_dtype=frozen_dtype,
                          accum_dtype=accum_dtype, moment_dtype=moment,
-                         dp_shard=dp_shard)
+                         dp_shard=dp_shard, moments_host=host, fused=fused)
         est = st["peak_state"] + act + _RESERVE_BYTES
         fits = budget_bytes is None or est <= budget_bytes
         trace.append(
             f"{jnp.dtype(master).name}-master/"
             f"{'fused' if fused else jnp.dtype(accum_dtype).name + '-accum'}/"
             f"{moment if isinstance(moment, str) else jnp.dtype(moment).name}"
-            f"-moments: {est / GB:.2f} GB "
+            f"-moments{'@host' if host else ''}: {est / GB:.2f} GB "
             f"{'<=' if fits else '>'} {(budget_bytes or 0) / GB:.2f} -> "
             f"{'SELECTED' if fits else 'skip'}")
         plan = MemoryPlan(master_dtype=master, frozen_dtype=frozen_dtype,
@@ -238,7 +271,7 @@ def plan_anima_training(*, trainable_elems: int, frozen_elems: int,
                           moment_dtype=moment, attn_impl="flash",
                           remat=remat, est_bytes=int(est),
                           budget_bytes=int(budget_bytes or 0),
-                          reason="\n".join(trace))
+                          reason="\n".join(trace), moments_host=host)
         if fits:
             return plan
         if best_fallback is None or est < best_fallback.est_bytes:
@@ -263,18 +296,19 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
     """
     trace: list[str] = []
     state_candidates = _state_candidates(ga_steps, master_override,
-                                         requested_moment_dtype)
+                                         requested_moment_dtype,
+                                         allow_moments_host=(dp_shard == 1))
     ladder = _ladder_for(attn_pref)
     if remat_override is not None:
         ladder = [(attn_pref, remat_override)]
 
     best_fallback = None  # smallest-estimate candidate, if nothing fits
-    for master, accum_dtype, fused, moment in state_candidates:
+    for master, accum_dtype, fused, moment, host in state_candidates:
         frozen_dtype = jnp.bfloat16 if master == jnp.bfloat16 else jnp.float32
         st = state_bytes(trainable_elems, frozen_elems,
                          master_dtype=master, frozen_dtype=frozen_dtype,
                          accum_dtype=accum_dtype, moment_dtype=moment,
-                         dp_shard=dp_shard)
+                         dp_shard=dp_shard, moments_host=host, fused=fused)
         for attn_impl, remat in ladder:
             act = activation_bytes(attn_impl, remat, batch_per_device,
                                    max_latent_pixels)
@@ -284,6 +318,7 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
                 f"{jnp.dtype(master).name}-master/"
                 f"{'fused' if fused else jnp.dtype(accum_dtype).name + '-accum'}/"
                 f"{moment if isinstance(moment, str) else jnp.dtype(moment).name}-moments"
+                f"{'@host' if host else ''}"
                 f" + {attn_impl}/remat={remat}: "
                 f"state {st['peak_state'] / GB:.2f} + act {act / GB:.2f} "
                 f"+ reserve {_RESERVE_BYTES / GB:.2f} = {est / GB:.2f} GB "
@@ -295,7 +330,7 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
                 accum_dtype=accum_dtype, fused_apply=fused,
                 moment_dtype=moment, attn_impl=attn_impl, remat=remat,
                 est_bytes=int(est), budget_bytes=int(budget_bytes or 0),
-                reason="\n".join(trace))
+                reason="\n".join(trace), moments_host=host)
             if fits:
                 return plan
             if best_fallback is None or est < best_fallback.est_bytes:
@@ -333,7 +368,11 @@ def describe_plan(plan: MemoryPlan, *, verbose: bool = False) -> str:
            else f"{jnp.dtype(plan.accum_dtype).name} accum tree"),
         f"INFO:   moments: "
         + (plan.moment_dtype if isinstance(plan.moment_dtype, str)
-           else jnp.dtype(plan.moment_dtype).name),
+           else jnp.dtype(plan.moment_dtype).name)
+        + ("  [OFFLOADED to pinned host memory — streamed through the "
+           "update like the reference's Raven/Titan CPU offload, but the "
+           "math stays a fused on-device XLA kernel]"
+           if plan.moments_host else ""),
         f"INFO:   attention: {plan.attn_impl}, remat: {plan.remat}",
     ]
     if verbose:

@@ -198,10 +198,54 @@ def jit_train_functions(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig,
     return (jax.jit(micro, **micro_kw), jax.jit(apply_, **apply_kw))
 
 
+def jit_moments_host(fused, device):
+    """Jit a fused step whose optimizer state lives in pinned HOST memory.
+
+    Any fused step with the (trainable, frozen, opt_state, *rest) ->
+    (loss, sigma0, new_params, new_state, ...) contract works (SDXL's
+    ``make_fused_step`` and the Anima twin).  The state enters/leaves in
+    pinned_host; explicit in-program ``jax.device_put`` transfers bring
+    each moment tensor to HBM around its parameter's update and stream
+    the new value back, so the ~2x-trainable-size moment trees never
+    hold HBM residency (jax 0.9 memory-space typing requires the
+    transfers to be explicit — boundary annotations alone fail with
+    "memory_space of all inputs ... must be the same").
+    """
+    s_dev = jax.sharding.SingleDeviceSharding(device)
+    s_host = jax.sharding.SingleDeviceSharding(device,
+                                               memory_kind="pinned_host")
+
+    def wrapped(trainable, frozen, opt_state, *rest):
+        opt_dev = jax.device_put(opt_state, s_dev)
+        out = fused(trainable, frozen, opt_dev, *rest)
+        loss, sigma0, new_params, new_state = out[:4]
+        new_state = jax.device_put(new_state, s_host)
+        return (loss, sigma0, new_params, new_state) + tuple(out[4:])
+
+    # 13 args: trainable, frozen, opt_state, 6 batch leaves, seed,
+    # micro_step_idx, lr.  opt_state is NOT donated (host buffers).
+    return jax.jit(
+        wrapped, donate_argnums=(0,),
+        in_shardings=(None, None, s_host) + (None,) * 10,
+        out_shardings=(None, None, None, s_host, None, None))
+
+
 def jit_fused_function(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig,
-                       *, shardings: dict | None = None):
-    """Compile the fused GA=1 step with donated params + optimizer state."""
+                       *, shardings: dict | None = None,
+                       moments_host: bool = False, device=None):
+    """Compile the fused GA=1 step with donated params + optimizer state.
+
+    ``moments_host=True`` (single-device low-memory rung): the optimizer
+    state enters and leaves the program in pinned HOST memory — XLA
+    streams each moment tensor over PCIe around its parameter's update,
+    so the ~2x-trainable-size moment trees never occupy HBM (the
+    TPU-native form of the reference's Raven/Titan CPU offload,
+    raven.py:122-147, with the update math still a fused device kernel).
+    """
     fused = make_fused_step(cfg, opt_cfg)
+    if moments_host:
+        dev = device or jax.devices()[0]
+        return jit_moments_host(fused, dev)
     kw: dict = dict(donate_argnums=(0, 2))
     if shardings:
         sh_t = shardings["trainable"]

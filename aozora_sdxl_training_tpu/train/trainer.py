@@ -375,7 +375,18 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
     fused_fn = micro_fn = apply_fn = grad_accum = None
     if plan.fused_apply:
         from .train_step import jit_fused_function
-        fused_fn = jit_fused_function(step_cfg, opt_cfg, shardings=shardings)
+        if plan.moments_host and not use_mesh:
+            # lowest-memory rung: park the moment trees in pinned host
+            # memory; the fused step streams them through the update
+            dev = layout.devices[0]
+            s_host = jax.sharding.SingleDeviceSharding(
+                dev, memory_kind="pinned_host")
+            opt_state = jax.device_put(opt_state, s_host)
+            fused_fn = jit_fused_function(step_cfg, opt_cfg,
+                                          moments_host=True, device=dev)
+        else:
+            fused_fn = jit_fused_function(step_cfg, opt_cfg,
+                                          shardings=shardings)
     else:
         micro_fn, apply_fn = jit_train_functions(step_cfg, opt_cfg,
                                                  shardings=shardings)

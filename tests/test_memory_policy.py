@@ -34,11 +34,17 @@ def plan(**kw):
     return mp.plan_sdxl_training(**args)
 
 
-def test_single_chip_full_sdxl_needs_low_memory_mode():
+def test_single_chip_full_sdxl_offloads_moments_to_host():
+    # r3 measured truth: the all-on-device fused step compiles to
+    # 16.88 GB at 1024px b1 (args 9.09 + temps 7.54 incl 1.23 frag) and
+    # OOMs the 15.75 GB chip — the planner must reject every on-device
+    # layout and land on the pinned-host moment rung (the TPU-native
+    # equivalent of the reference's optimizer CPU offload).
     p = plan()
     assert p.master_dtype == jnp.bfloat16
     assert p.fused_apply and p.accum_dtype is None
-    assert p.moment_dtype == "int8_blockwise"  # downgraded from bf16
+    assert p.moment_dtype == "int8_blockwise"
+    assert p.moments_host                      # moments leave HBM
     assert p.remat is True                     # only full remat fits
     assert p.est_bytes <= V5E
 
@@ -47,6 +53,12 @@ def test_single_chip_int8_requested_stays_int8():
     p = plan(requested_moment_dtype="int8_blockwise")
     assert p.moment_dtype == "int8_blockwise"
     assert p.master_dtype == jnp.bfloat16
+    assert p.moments_host
+
+
+def test_moments_host_never_offered_under_fsdp():
+    p = plan(dp_shard=8, ga_steps=4)
+    assert not p.moments_host
 
 
 def test_v5e8_fsdp_keeps_fp32_master_and_fast_remat():

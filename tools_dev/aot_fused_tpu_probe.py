@@ -1,0 +1,80 @@
+"""AOT-compile the FULL-SIZE fused SDXL train step on the real chip.
+
+Compile-only (abstract avals — no buffers are materialized), so a
+memory-infeasible configuration surfaces as a compiler OOM in ~minutes
+without burning a trainer run.  Used to validate the pinned-host moment
+rung (r3): the all-on-device fused step measured 16.88 GB vs the chip's
+15.75 GB; parking the int8 moment trees in host memory must bring HLO
+residency under budget.
+
+    python tools_dev/aot_fused_tpu_probe.py [host=1] [latent=128] [batch=1]
+"""
+
+import sys; sys.path.insert(0, "/root/repo")
+import sys
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+args = dict(a.split("=") for a in sys.argv[1:] if "=" in a)
+host = bool(int(args.get("host", 1)))
+latent = int(args.get("latent", 128))
+batch = int(args.get("batch", 1))
+
+from aozora_sdxl_training_tpu.models.sdxl.arch import SDXL_BASE
+from aozora_sdxl_training_tpu.models.sdxl.unet import init_params
+from aozora_sdxl_training_tpu.opt import adamw
+from aozora_sdxl_training_tpu.train.train_step import (
+    TrainStepConfig, jit_fused_function, split_trainable)
+
+cfg = SDXL_BASE
+step_cfg = TrainStepConfig(unet=cfg, prediction_type="v_prediction",
+                           grad_accum_steps=1, clip_grad_norm=1.0,
+                           attn_impl="flash", compute_dtype=jnp.bfloat16,
+                           remat=True)
+opt_cfg = adamw.AdamWConfig(debias_strength=1.0,
+                            momentum_dtype="int8_blockwise")
+
+# abstract param/optimizer trees (no memory is allocated)
+from aozora_sdxl_training_tpu.models.sdxl.arch import param_shapes
+shapes = {name: jax.ShapeDtypeStruct(tuple(shape), jnp.bfloat16)
+          for name, (shape, kind) in param_shapes(cfg).items()}
+trainable, frozen = split_trainable(shapes, ["conv1", "conv2"])
+opt_state = jax.eval_shape(lambda t: adamw.init_state(t, opt_cfg), trainable)
+n_t = sum(int(jnp.prod(jnp.array(v.shape))) for v in trainable.values())
+print(f"trainable {n_t/1e9:.3f}B  latent {latent}x{latent}  batch {batch}  "
+      f"moments_host={host}")
+
+sds = jax.ShapeDtypeStruct
+b = batch
+batch_args = (
+    sds((b, latent, latent, cfg.in_channels), jnp.float32),   # latents
+    sds((b, 77, cfg.cross_attention_dim), jnp.float32),       # embeds
+    sds((b, cfg.pooled_projection_dim), jnp.float32),         # pooled
+    sds((b, 6), jnp.float32),                                 # time_ids
+    sds((b,), jnp.int32),                                     # timesteps
+    sds((b,), jnp.float32),                                   # sample_mask
+)
+scalars = (sds((1000,), jnp.float32),                         # loss_weights
+           sds((), jnp.int32), sds((), jnp.int32),            # seed, idx
+           sds((), jnp.float32))                              # lr
+
+fused = jit_fused_function(step_cfg, opt_cfg, moments_host=host)
+print("lowering ...")
+lowered = fused.lower(trainable, frozen, opt_state, *batch_args, *scalars)
+print("compiling (remote, minutes) ...")
+compiled = lowered.compile()
+m = compiled.memory_analysis()
+GB = 1024 ** 3
+print("COMPILE OK")
+print(f"  temp   {m.temp_size_in_bytes / GB:.2f} GB")
+print(f"  args   {m.argument_size_in_bytes / GB:.2f} GB")
+print(f"  output {m.output_size_in_bytes / GB:.2f} GB")
+print(f"  alias  {m.alias_size_in_bytes / GB:.2f} GB")
+total = (m.temp_size_in_bytes + m.argument_size_in_bytes
+         + m.output_size_in_bytes - m.alias_size_in_bytes)
+print(f"  total  {total / GB:.2f} GB (HBM view; host-resident args are "
+      "not charged by the TPU allocator)")
