@@ -348,7 +348,18 @@ def run_anima_training(config, *, post_step_hook=None,
     else:
         micro_fn = jax.jit(micro, donate_argnums=(2,))
         apply_fn = jax.jit(apply_, donate_argnums=(0, 1, 2))
-        if fused is not None and plan.moments_host:
+        if fused is not None and plan.two_pass:
+            # two-pass low-memory rung: the gradient tree never
+            # materializes; all optimizer state stays in HBM
+            from .train_step import jit_two_pass_fused
+            fused_fn = jit_two_pass_fused(
+                _make_anima_loss_fn(
+                    dit_cfg, compute_dtype=config.compute_dtype,
+                    attn_impl=attn_impl, remat=remat,
+                    spatial_strength=(lineart_strength if lineart_enabled
+                                      else 0.0)),
+                opt_cfg, clip)
+        elif fused is not None and plan.moments_host:
             # lowest-memory rung: moment trees live in pinned host memory
             # and stream through the fused update
             from .train_step import jit_moments_host

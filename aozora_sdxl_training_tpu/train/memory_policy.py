@@ -97,6 +97,7 @@ class MemoryPlan:
     budget_bytes: int
     reason: str                # human-readable selection trace
     moments_host: bool = False  # optimizer moments parked in pinned_host
+    two_pass: bool = False      # norm pass + recompute-update pass (GA=1)
 
     @property
     def low_memory(self) -> bool:
@@ -126,7 +127,7 @@ def device_budget_bytes(device=None) -> int | None:
 def state_bytes(trainable_elems: int, frozen_elems: int, *,
                 master_dtype, frozen_dtype, accum_dtype, moment_dtype,
                 dp_shard: int = 1, moments_host: bool = False,
-                fused: bool = False) -> dict[str, int]:
+                fused: bool = False, two_pass: bool = False) -> dict[str, int]:
     """Per-device resident + transient state accounting.
 
     Under FSDP the master/moment/accum trees shard over ``dp_shard``
@@ -144,9 +145,21 @@ def state_bytes(trainable_elems: int, frozen_elems: int, *,
     frozen = f * dtype_bytes(frozen_dtype) / shard
     moments = 2 * t * dtype_bytes(moment_dtype) / shard
     accum = t * dtype_bytes(accum_dtype) / shard if accum_dtype else 0
-    # backward produces a full gradient tree in the master dtype; with
-    # grad clipping every leaf is alive until the global norm is known
-    grads = t * dtype_bytes(master_dtype) / shard
+    if two_pass:
+        # each gradient dies at its only consumer (square-sum reduction
+        # in pass 1, its parameter's update in pass 2) — only per-tensor
+        # scratch is ever alive, never the tree.  This requires the
+        # per-tensor optimization_barrier tie in jit_two_pass_fused:
+        # without it XLA hoists every moment decode to t=0 (19.54 GB HLO
+        # temp, OOM); with it the full-SDXL AOT compile measures norm
+        # pass 7.41 GB / update pass 12.88 GB total (temps 3.79) on the
+        # 15.75 GB chip — the 1.5 GB combined allowance here is calibrated
+        # against that measurement.
+        grads = int(0.5 * GB)
+    else:
+        # backward produces a full gradient tree in the master dtype; with
+        # grad clipping every leaf is alive until the global norm is known
+        grads = t * dtype_bytes(master_dtype) / shard
     if moments_host:
         # moments stream through a bounded staging window, not residency
         hbm_moments = int(0.5 * GB) if moments else 0
@@ -154,7 +167,11 @@ def state_bytes(trainable_elems: int, frozen_elems: int, *,
         hbm_moments = moments
     resident = master + frozen + hbm_moments + accum
     peak = (resident + grads) * _STATE_SLACK
-    if fused:
+    if two_pass:
+        # fp32 update scratch (m/v/p per tensor) in pass 2 + scheduling
+        # slack (same conservative stance as above)
+        peak += int(1.0 * GB)
+    elif fused:
         # fragmentation among ~800 odd-sized grad buffers interleaved
         # with activation temps + fp32 update scratch, calibrated on the
         # measured full-size compile (see docstring)
@@ -181,15 +198,22 @@ def _ladder_for(attn_pref: str):
 def _state_candidates(ga_steps: int, master_override,
                       requested_moment_dtype, *,
                       allow_moments_host: bool = False):
-    """Quality-first (master, accum, fused, moment, moments_host) layouts.
+    """Quality-first (master, accum, fused, moment, host, two_pass)
+    layouts.
 
-    The final rungs (``allow_moments_host``, single-chip GA=1 only) park
-    the moment trees in pinned host memory — the TPU-native equivalent
-    of the reference's Raven/Titan optimizer-state CPU offload
-    (/root/reference/training_utils/optimizers/raven.py:122-147), except
-    the update still runs fused on-device; only the state streams over
-    PCIe.  int8 moments go first there: once you're streaming, transfer
-    bytes are the step-time tax.
+    The single-chip GA=1 rungs after the plain fused candidates
+    (``allow_moments_host`` gates both):
+
+    * **two-pass** — norm pass + recompute-update pass; the gradient
+      tree never materializes, all state stays in HBM.  ~2x backward
+      compute (train_step.jit_two_pass_fused).
+    * **pinned-host moments** — the TPU-native equivalent of the
+      reference's Raven/Titan optimizer-state CPU offload
+      (/root/reference/training_utils/optimizers/raven.py:122-147); the
+      update still runs fused on-device but the moment trees stream
+      over PCIe every step (r3 measured ~10 s/step for full SDXL —
+      last resort).  int8 moments go first there: once you're
+      streaming, transfer bytes are the step-time tax.
     """
     out = []
     if master_override and str(master_override) != "auto":
@@ -197,6 +221,15 @@ def _state_candidates(ga_steps: int, master_override,
                    else jnp.float32]
     else:
         masters = [jnp.float32, jnp.bfloat16]
+    # Dev/test knob: pin a specific low-memory rung so the CPU e2e drives
+    # (verify circuit) can exercise paths the unconstrained-budget planner
+    # would never pick on a dev box.
+    forced = os.environ.get("AOZORA_LOWMEM_RUNG", "")
+    if forced and allow_moments_host and ga_steps == 1:
+        if forced == "two_pass":
+            return [(jnp.bfloat16, None, True, "int8_blockwise", False, True)]
+        if forced == "moments_host":
+            return [(jnp.bfloat16, None, True, "int8_blockwise", True, False)]
     for master in masters:
         accum_opts: list[tuple[Any, bool]] = []
         if master == jnp.float32:
@@ -213,11 +246,15 @@ def _state_candidates(ga_steps: int, master_override,
             moment_opts.append("int8_blockwise")
         for accum_dtype, fused in accum_opts:
             for moment in moment_opts:
-                out.append((master, accum_dtype, fused, moment, False))
+                out.append((master, accum_dtype, fused, moment, False, False))
     if allow_moments_host and ga_steps == 1 and jnp.bfloat16 in masters:
-        out.append((jnp.bfloat16, None, True, "int8_blockwise", True))
         if requested_moment_dtype != "int8_blockwise":
-            out.append((jnp.bfloat16, None, True, jnp.bfloat16, True))
+            out.append((jnp.bfloat16, None, True, requested_moment_dtype,
+                        False, True))
+        out.append((jnp.bfloat16, None, True, "int8_blockwise", False, True))
+        out.append((jnp.bfloat16, None, True, "int8_blockwise", True, False))
+        if requested_moment_dtype != "int8_blockwise":
+            out.append((jnp.bfloat16, None, True, jnp.bfloat16, True, False))
     return out
 
 
@@ -249,21 +286,23 @@ def plan_anima_training(*, trainable_elems: int, frozen_elems: int,
               * batch_per_device * tokens)
     trace: list[str] = []
     best_fallback = None
-    for master, accum_dtype, fused, moment, host in _state_candidates(
+    for master, accum_dtype, fused, moment, host, two_pass in _state_candidates(
             ga_steps, master_override, requested_moment_dtype,
             allow_moments_host=(dp_shard == 1)):
         frozen_dtype = jnp.bfloat16 if master == jnp.bfloat16 else jnp.float32
         st = state_bytes(trainable_elems, frozen_elems,
                          master_dtype=master, frozen_dtype=frozen_dtype,
                          accum_dtype=accum_dtype, moment_dtype=moment,
-                         dp_shard=dp_shard, moments_host=host, fused=fused)
+                         dp_shard=dp_shard, moments_host=host, fused=fused,
+                         two_pass=two_pass)
         est = st["peak_state"] + act + _RESERVE_BYTES
         fits = budget_bytes is None or est <= budget_bytes
         trace.append(
             f"{jnp.dtype(master).name}-master/"
             f"{'fused' if fused else jnp.dtype(accum_dtype).name + '-accum'}/"
             f"{moment if isinstance(moment, str) else jnp.dtype(moment).name}"
-            f"-moments{'@host' if host else ''}: {est / GB:.2f} GB "
+            f"-moments{'@host' if host else ''}"
+            f"{'/two-pass' if two_pass else ''}: {est / GB:.2f} GB "
             f"{'<=' if fits else '>'} {(budget_bytes or 0) / GB:.2f} -> "
             f"{'SELECTED' if fits else 'skip'}")
         plan = MemoryPlan(master_dtype=master, frozen_dtype=frozen_dtype,
@@ -271,7 +310,8 @@ def plan_anima_training(*, trainable_elems: int, frozen_elems: int,
                           moment_dtype=moment, attn_impl="flash",
                           remat=remat, est_bytes=int(est),
                           budget_bytes=int(budget_bytes or 0),
-                          reason="\n".join(trace), moments_host=host)
+                          reason="\n".join(trace), moments_host=host,
+                          two_pass=two_pass)
         if fits:
             return plan
         if best_fallback is None or est < best_fallback.est_bytes:
@@ -303,12 +343,13 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
         ladder = [(attn_pref, remat_override)]
 
     best_fallback = None  # smallest-estimate candidate, if nothing fits
-    for master, accum_dtype, fused, moment, host in state_candidates:
+    for master, accum_dtype, fused, moment, host, two_pass in state_candidates:
         frozen_dtype = jnp.bfloat16 if master == jnp.bfloat16 else jnp.float32
         st = state_bytes(trainable_elems, frozen_elems,
                          master_dtype=master, frozen_dtype=frozen_dtype,
                          accum_dtype=accum_dtype, moment_dtype=moment,
-                         dp_shard=dp_shard, moments_host=host, fused=fused)
+                         dp_shard=dp_shard, moments_host=host, fused=fused,
+                         two_pass=two_pass)
         for attn_impl, remat in ladder:
             act = activation_bytes(attn_impl, remat, batch_per_device,
                                    max_latent_pixels)
@@ -319,6 +360,7 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
                 f"{'fused' if fused else jnp.dtype(accum_dtype).name + '-accum'}/"
                 f"{moment if isinstance(moment, str) else jnp.dtype(moment).name}-moments"
                 f"{'@host' if host else ''}"
+                f"{'/two-pass' if two_pass else ''}"
                 f" + {attn_impl}/remat={remat}: "
                 f"state {st['peak_state'] / GB:.2f} + act {act / GB:.2f} "
                 f"+ reserve {_RESERVE_BYTES / GB:.2f} = {est / GB:.2f} GB "
@@ -330,7 +372,8 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
                 accum_dtype=accum_dtype, fused_apply=fused,
                 moment_dtype=moment, attn_impl=attn_impl, remat=remat,
                 est_bytes=int(est), budget_bytes=int(budget_bytes or 0),
-                reason="\n".join(trace), moments_host=host)
+                reason="\n".join(trace), moments_host=host,
+                two_pass=two_pass)
             if fits:
                 return plan
             if best_fallback is None or est < best_fallback.est_bytes:
@@ -363,7 +406,9 @@ def describe_plan(plan: MemoryPlan, *, verbose: bool = False) -> str:
            "the reference's own training precision]" if plan.low_memory
            else ""),
         f"INFO:   grad accumulation: "
-        + ("fused into the train step (GA=1, no accum tree)"
+        + ("two-pass step (GA=1: norm pass + recompute-update pass — "
+           "the gradient tree never materializes)" if plan.two_pass
+           else "fused into the train step (GA=1, no accum tree)"
            if plan.fused_apply
            else f"{jnp.dtype(plan.accum_dtype).name} accum tree"),
         f"INFO:   moments: "

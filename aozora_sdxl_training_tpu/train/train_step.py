@@ -141,6 +141,107 @@ def make_fused_step(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig):
     return fused_step
 
 
+def jit_two_pass_fused(loss_fn, opt_cfg: adamw.AdamWConfig,
+                       clip_grad_norm: float):
+    """GA=1 rung between the fused step and host-moment offload: two
+    compiled programs in which the gradient tree never materializes.
+
+    The fused step needs every gradient alive until the global clip norm
+    is known — a ~2x-trainable-bytes HLO temp that (plus fragmentation)
+    pushes full-SDXL to 16.9 GB on a 15.75 GB chip (r3 measured).  The
+    pinned-host moment rung fits but streams ~9 GB of optimizer state
+    over the PCIe/tunnel path every step (~10 s/step measured — the same
+    order as the reference's Raven/Titan CPU-offload optimizer,
+    /root/reference/training_utils/optimizers/raven.py:122-147).  This
+    rung instead splits the step so each gradient dies at its only
+    consumer and all state stays in HBM:
+
+    * pass 1 (``norm_step``): fwd+bwd where each grad's lifetime ends at
+      its square-sum reduction; XLA frees it mid-backward.  Returns the
+      loss and the global grad norm.
+    * pass 2 (``update_step``): recomputes fwd+bwd, scales each grad by
+      pass 1's clip factor, and folds it into that parameter's donated
+      AdamW update.  Again one consumer per grad.
+
+    Cost: ~2x the backward compute (vs ~40x for streamed moments); peak
+    HBM is master+frozen+moments+activations only.  Pass 2's grads are a
+    fresh recompute of the same pure function on the same inputs — the
+    two compilations may differ in fusion order by ~1 ulp, perturbing
+    the clip *scale* (not the grad direction) immeasurably; the
+    reference's clip-then-Adam semantics (train.py:2771-2785) are
+    preserved.
+
+    ``loss_fn(trainable, frozen, *batch) -> (loss, aux)`` is either
+    trainer family's loss; the returned wrapper keeps the fused-step
+    contract ``(trainable, frozen, opt_state, *batch, lr) -> (loss,
+    aux0, new_params, new_state, raw_norm, update_norm)`` so it drops
+    into the trainer's ``fused_fn`` slot unchanged.
+    """
+
+    def norm_step(trainable, frozen, *batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, *batch)
+        normsq = sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                     for g in jax.tree.leaves(grads))
+        return loss, jnp.reshape(aux, (-1,))[0], jnp.sqrt(normsq)
+
+    def _tie_state_to_grads(trainable, opt_state, grads):
+        """Make each tensor's update inputs depend on its own gradient.
+
+        Without this the int8-moment decodes and fp32 master upcasts
+        depend only on program *arguments* — they are schedulable at t=0,
+        and XLA's latency-hiding scheduler hoists all ~800 of them ahead
+        of the backward: 2x trainable fp32 of decoded moments alive at
+        once (measured 19.54 GB HLO temp on full SDXL, r3 AOT probe).
+        An optimization_barrier per tensor ties (p, m, v) to that
+        tensor's grad, so a decode only becomes ready when the backward
+        produces its grad and the whole per-tensor update chain can
+        retire (and free) mid-backward.
+        """
+        flat_p, treedef = jax.tree.flatten(trainable)
+        flat_g = treedef.flatten_up_to(grads)
+        flat_m = treedef.flatten_up_to(opt_state.exp_avg)
+        flat_v = treedef.flatten_up_to(opt_state.exp_avg_sq)
+        new_p, new_m, new_v = [], [], []
+        for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v):
+            p, m, v, _ = jax.lax.optimization_barrier((p, m, v, g))
+            new_p.append(p)
+            new_m.append(m)
+            new_v.append(v)
+        return (jax.tree.unflatten(treedef, new_p),
+                adamw.AdamWState(
+                    step=opt_state.step,
+                    exp_avg=jax.tree.unflatten(treedef, new_m),
+                    exp_avg_sq=jax.tree.unflatten(treedef, new_v)))
+
+    def update_step(raw_norm, lr, trainable, frozen, opt_state, *batch):
+        _, grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, *batch)
+        clipped, _ = adamw.clip_by_global_norm(
+            grads, clip_grad_norm, precomputed_norm=raw_norm)
+        tied_params, tied_state = _tie_state_to_grads(
+            trainable, opt_state, clipped)
+        new_params, new_state, update_sq = adamw.apply_updates(
+            tied_params, clipped, tied_state, opt_cfg, lr=lr,
+            return_update_sq=True)
+        return new_params, new_state, jnp.sqrt(update_sq)
+
+    norm_jit = jax.jit(norm_step)
+    update_jit = jax.jit(update_step, donate_argnums=(2, 4))
+
+    def two_pass(trainable, frozen, opt_state, *rest):
+        *batch, lr = rest
+        loss, aux0, raw_norm = norm_jit(trainable, frozen, *batch)
+        new_params, new_state, update_norm = update_jit(
+            raw_norm, lr, trainable, frozen, opt_state, *batch)
+        return loss, aux0, new_params, new_state, raw_norm, update_norm
+
+    # exposed for AOT memory probing (tools_dev/aot_fused_tpu_probe.py)
+    two_pass.norm_jit = norm_jit
+    two_pass.update_jit = update_jit
+    return two_pass
+
+
 def make_apply_step(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig):
     """apply_step(trainable, grad_accum, opt_state, lr) ->
     (new_trainable, new_opt_state, raw_grad_norm, update_norm).

@@ -375,7 +375,13 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
     fused_fn = micro_fn = apply_fn = grad_accum = None
     if plan.fused_apply:
         from .train_step import jit_fused_function
-        if plan.moments_host and not use_mesh:
+        if plan.two_pass and not use_mesh:
+            # two-pass low-memory rung: the gradient tree never
+            # materializes; all optimizer state stays in HBM
+            from .train_step import jit_two_pass_fused, make_loss_fn
+            fused_fn = jit_two_pass_fused(make_loss_fn(step_cfg), opt_cfg,
+                                          step_cfg.clip_grad_norm)
+        elif plan.moments_host and not use_mesh:
             # lowest-memory rung: park the moment trees in pinned host
             # memory; the fused step streams them through the update
             dev = layout.devices[0]

@@ -173,6 +173,30 @@ def test_resume_continues(e2e_run, capsys):
     assert (out / "e2e_resume.safetensors").exists()
 
 
+def test_two_pass_rung_trains_e2e(tmp_path, monkeypatch, capsys):
+    """The two-pass low-memory rung (norm pass + recompute-update pass,
+    selected on the real chip for full-SDXL single-chip training) drives
+    the actual trainer loop: same CLI surface, GA=1, checkpoint saved."""
+    from unittest import mock
+    monkeypatch.setenv("AOZORA_LOWMEM_RUNG", "two_pass")
+    ckpt = tmp_path / "base.safetensors"
+    _build_checkpoint(ckpt)
+    data_root = tmp_path / "data"
+    data_root.mkdir()
+    _build_cache(data_root, cs.sdxl_cache_dir_name(False))
+    config = _make_config(tmp_path, OUTPUT_NAME="e2e_two_pass",
+                          GRADIENT_ACCUMULATION_STEPS=1, MAX_TRAIN_STEPS=2,
+                          SAVE_EVERY_N_STEPS=2)
+    with mock.patch(
+            "aozora_sdxl_training_tpu.train.trainer.check_if_caching_needed",
+            return_value=False):
+        run_sdxl_training(config, unet_cfg=TINY)
+    out = capsys.readouterr().out
+    assert "two-pass step" in out           # the plan actually chose it
+    assert "Optimizer Step: 2" in out
+    assert (tmp_path / "out" / "e2e_two_pass.safetensors").exists()
+
+
 def test_dp8_batchsize1_matches_single_device_numerics(tmp_path, monkeypatch):
     """VERDICT r1 #3: per-chip batch semantics — BATCH_SIZE=1 on a dp=8 mesh
     (global batch 8, ragged batches padded + loss-masked) must produce the

@@ -34,17 +34,19 @@ def plan(**kw):
     return mp.plan_sdxl_training(**args)
 
 
-def test_single_chip_full_sdxl_offloads_moments_to_host():
+def test_single_chip_full_sdxl_selects_two_pass():
     # r3 measured truth: the all-on-device fused step compiles to
     # 16.88 GB at 1024px b1 (args 9.09 + temps 7.54 incl 1.23 frag) and
-    # OOMs the 15.75 GB chip — the planner must reject every on-device
-    # layout and land on the pinned-host moment rung (the TPU-native
-    # equivalent of the reference's optimizer CPU offload).
+    # OOMs the 15.75 GB chip; the pinned-host moment rung fits but
+    # streams ~9 GB of state per step (~10 s/step measured on the real
+    # chip).  The planner must land on the two-pass rung: gradient tree
+    # never materializes, optimizer state stays in HBM.
     p = plan()
     assert p.master_dtype == jnp.bfloat16
     assert p.fused_apply and p.accum_dtype is None
     assert p.moment_dtype == "int8_blockwise"
-    assert p.moments_host                      # moments leave HBM
+    assert p.two_pass
+    assert not p.moments_host                  # state stays in HBM
     assert p.remat is True                     # only full remat fits
     assert p.est_bytes <= V5E
 
@@ -53,12 +55,12 @@ def test_single_chip_int8_requested_stays_int8():
     p = plan(requested_moment_dtype="int8_blockwise")
     assert p.moment_dtype == "int8_blockwise"
     assert p.master_dtype == jnp.bfloat16
-    assert p.moments_host
+    assert p.two_pass and not p.moments_host
 
 
-def test_moments_host_never_offered_under_fsdp():
+def test_lowmem_rungs_never_offered_under_fsdp():
     p = plan(dp_shard=8, ga_steps=4)
-    assert not p.moments_host
+    assert not p.moments_host and not p.two_pass
 
 
 def test_v5e8_fsdp_keeps_fp32_master_and_fast_remat():
@@ -166,6 +168,75 @@ def test_fused_step_matches_micro_plus_apply():
     np.testing.assert_allclose(np.asarray(state_a.exp_avg["conv_in.weight"]),
                                np.asarray(state_b.exp_avg["conv_in.weight"]),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_two_pass_matches_fused_step():
+    """The two-pass wrapper (norm pass + recompute-update pass) must be
+    numerically identical to the single fused program — same inputs, same
+    pure function, clip scale from the precomputed norm."""
+    from aozora_sdxl_training_tpu.models.sdxl.arch import TINY
+    from aozora_sdxl_training_tpu.models.sdxl.unet import init_params
+    from aozora_sdxl_training_tpu.opt import adamw
+    from aozora_sdxl_training_tpu.train.train_step import (
+        TrainStepConfig, make_fused_step, make_loss_fn, jit_two_pass_fused,
+        split_trainable)
+
+    cfg = TrainStepConfig(unet=TINY, prediction_type="v_prediction",
+                          grad_accum_steps=1, clip_grad_norm=1.0,
+                          attn_impl="xla", compute_dtype=jnp.float32,
+                          remat=False)
+    opt_cfg = adamw.AdamWConfig(debias_strength=1.0)
+    params = init_params(TINY, jax.random.PRNGKey(0))
+    trainable, frozen = split_trainable(params, ["conv1"])
+    b, hw, seq = 2, 16, 7
+    key = jax.random.PRNGKey(1)
+    batch_args = (
+        jax.random.normal(key, (b, hw, hw, 4)),
+        jax.random.normal(jax.random.fold_in(key, 1),
+                          (b, seq, TINY.cross_attention_dim)),
+        jax.random.normal(jax.random.fold_in(key, 2),
+                          (b, TINY.pooled_projection_dim)),
+        jnp.ones((b, 6), jnp.float32),
+        jnp.asarray([100, 700], jnp.int32),
+        jnp.ones((b,), jnp.float32),
+        jnp.ones((1000,), jnp.float32),
+        jnp.asarray(42, jnp.int32),
+        jnp.asarray(1, jnp.int32))
+    lr = jnp.asarray(1e-3, jnp.float32)
+
+    state0 = adamw.init_state(trainable, opt_cfg)
+    fused = make_fused_step(cfg, opt_cfg)
+    loss_a, sigma_a, params_a, state_a, raw_a, upd_a = fused(
+        trainable, frozen, state0, *batch_args, lr)
+
+    state0 = adamw.init_state(trainable, opt_cfg)
+    two_pass = jit_two_pass_fused(make_loss_fn(cfg), opt_cfg,
+                                  cfg.clip_grad_norm)
+    loss_b, sigma_b, params_b, state_b, raw_b, upd_b = two_pass(
+        trainable, frozen, state0, *batch_args, lr)
+
+    assert float(loss_a) == pytest.approx(float(loss_b), rel=1e-6)
+    assert float(sigma_a) == pytest.approx(float(sigma_b), rel=1e-6)
+    assert float(raw_a) == pytest.approx(float(raw_b), rel=1e-5)
+    assert float(upd_a) == pytest.approx(float(upd_b), rel=1e-4)
+    # the two paths are different compilations of the same pure function;
+    # fusion-order ulps in the recomputed grads matter because Adam's
+    # first step is sign-like (m/sqrt(v) = g/|g| at step 1): a near-zero
+    # grad element whose recompute shifts slightly moves its update by
+    # O(lr * d|g|/|g|).  Tolerate isolated small-absolute outliers well
+    # below the lr=1e-3 update scale (measured: 1 elem/16384 at abs
+    # 8.7e-5).
+    for k in params_a:
+        np.testing.assert_allclose(np.asarray(params_a[k]),
+                                   np.asarray(params_b[k]),
+                                   rtol=2e-2, atol=2.5e-4, err_msg=k)
+    # same recompute-ulp story for the moments: m = 0.1*g_clipped, and a
+    # single grad element can shift ~1e-2 relative between the two
+    # compilations when its backward chain nearly cancels (measured:
+    # 1 elem/16384 at abs 8.7e-5)
+    np.testing.assert_allclose(np.asarray(state_a.exp_avg["conv_in.weight"]),
+                               np.asarray(state_b.exp_avg["conv_in.weight"]),
+                               rtol=2e-2, atol=2e-4)
 
 
 def test_anima_plan_single_chip_low_memory():

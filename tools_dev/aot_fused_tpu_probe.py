@@ -8,6 +8,7 @@ rung (r3): the all-on-device fused step measured 16.88 GB vs the chip's
 residency under budget.
 
     python tools_dev/aot_fused_tpu_probe.py [host=1] [latent=128] [batch=1]
+    python tools_dev/aot_fused_tpu_probe.py mode=two_pass [latent=128]
 """
 
 import sys; sys.path.insert(0, "/root/repo")
@@ -23,6 +24,7 @@ args = dict(a.split("=") for a in sys.argv[1:] if "=" in a)
 host = bool(int(args.get("host", 1)))
 latent = int(args.get("latent", 128))
 batch = int(args.get("batch", 1))
+mode = args.get("mode", "host")  # host | two_pass
 
 from aozora_sdxl_training_tpu.models.sdxl.arch import SDXL_BASE
 from aozora_sdxl_training_tpu.models.sdxl.unet import init_params
@@ -62,19 +64,41 @@ scalars = (sds((1000,), jnp.float32),                         # loss_weights
            sds((), jnp.int32), sds((), jnp.int32),            # seed, idx
            sds((), jnp.float32))                              # lr
 
-fused = jit_fused_function(step_cfg, opt_cfg, moments_host=host)
-print("lowering ...")
-lowered = fused.lower(trainable, frozen, opt_state, *batch_args, *scalars)
-print("compiling (remote, minutes) ...")
-compiled = lowered.compile()
-m = compiled.memory_analysis()
 GB = 1024 ** 3
-print("COMPILE OK")
-print(f"  temp   {m.temp_size_in_bytes / GB:.2f} GB")
-print(f"  args   {m.argument_size_in_bytes / GB:.2f} GB")
-print(f"  output {m.output_size_in_bytes / GB:.2f} GB")
-print(f"  alias  {m.alias_size_in_bytes / GB:.2f} GB")
-total = (m.temp_size_in_bytes + m.argument_size_in_bytes
-         + m.output_size_in_bytes - m.alias_size_in_bytes)
-print(f"  total  {total / GB:.2f} GB (HBM view; host-resident args are "
-      "not charged by the TPU allocator)")
+
+
+def report(compiled, label):
+    m = compiled.memory_analysis()
+    print(f"COMPILE OK [{label}]")
+    print(f"  temp   {m.temp_size_in_bytes / GB:.2f} GB")
+    print(f"  args   {m.argument_size_in_bytes / GB:.2f} GB")
+    print(f"  output {m.output_size_in_bytes / GB:.2f} GB")
+    print(f"  alias  {m.alias_size_in_bytes / GB:.2f} GB")
+    total = (m.temp_size_in_bytes + m.argument_size_in_bytes
+             + m.output_size_in_bytes - m.alias_size_in_bytes)
+    print(f"  total  {total / GB:.2f} GB (HBM view; host-resident args are "
+          "not charged by the TPU allocator)")
+
+
+if mode == "two_pass":
+    from aozora_sdxl_training_tpu.train.train_step import (
+        jit_two_pass_fused, make_loss_fn)
+    two_pass = jit_two_pass_fused(make_loss_fn(step_cfg), opt_cfg,
+                                  step_cfg.clip_grad_norm)
+    *batch9, lr = (*batch_args, *scalars)
+    print("lowering norm pass ...")
+    lo = two_pass.norm_jit.lower(trainable, frozen, *batch9)
+    print("compiling norm pass (remote, minutes) ...")
+    report(lo.compile(), "norm pass")
+    print("lowering update pass ...")
+    raw = jax.ShapeDtypeStruct((), jnp.float32)
+    lo = two_pass.update_jit.lower(raw, lr, trainable, frozen, opt_state,
+                                   *batch9)
+    print("compiling update pass (remote, minutes) ...")
+    report(lo.compile(), "update pass")
+else:
+    fused = jit_fused_function(step_cfg, opt_cfg, moments_host=host)
+    print("lowering ...")
+    lowered = fused.lower(trainable, frozen, opt_state, *batch_args, *scalars)
+    print("compiling (remote, minutes) ...")
+    report(lowered.compile(), f"fused host={host}")
