@@ -74,10 +74,8 @@ def test_strip_prefix_80_percent_rule():
     assert prefix2 == "" and "pipe.dit.a0" in same
 
 
-@pytest.fixture(scope="module")
-def anima_e2e(tmp_path_factory):
-    from unittest import mock
-    tmp = tmp_path_factory.mktemp("anima_e2e")
+def _build_anima_env(tmp, **config_overrides):
+    """Tiny DiT checkpoint + synthetic cache + RuntimeConfig under ``tmp``."""
     cfg = dit_mod.TINY_ANIMA
     params = dit_mod.init_params(cfg, jax.random.PRNGKey(3))
     torch_state = {f"pipe.dit.{k}": np.asarray(v) for k, v in
@@ -110,7 +108,7 @@ def anima_e2e(tmp_path_factory):
                       "bucket_variant_index": 0})
     cs.save_index(cache_dir, {"version": 6, "cache_options": {}, "files": files})
 
-    config = RuntimeConfig({
+    raw = {
         "TRAINING_MODE": "Anima DiT",
         "DIT_PATH": str(ckpt),
         "OUTPUT_DIR": str(tmp / "out"),
@@ -122,12 +120,42 @@ def anima_e2e(tmp_path_factory):
         "SAVE_EVERY_N_STEPS": 0,
         "SEED": 5,
         "ANIMA_DIT_SAVE_PREFIX": "auto",
-    }, validate_resume_paths=False)
+    }
+    raw.update(config_overrides)
+    return RuntimeConfig(raw, validate_resume_paths=False), params
+
+
+@pytest.fixture(scope="module")
+def anima_e2e(tmp_path_factory):
+    from unittest import mock
+    tmp = tmp_path_factory.mktemp("anima_e2e")
+    config, params = _build_anima_env(tmp)
     with mock.patch(
             "aozora_sdxl_training_tpu.train.anima_trainer."
             "check_if_anima_caching_needed", return_value=False):
         run_anima_training(config)
     return tmp, config, params
+
+
+def test_anima_two_pass_rung_trains_e2e(tmp_path, monkeypatch, capsys):
+    """The two-pass low-memory rung drives the Anima trainer loop end to
+    end (mirror of the SDXL test in test_end_to_end.py): the planner must
+    pick it under AOZORA_LOWMEM_RUNG=two_pass and training must complete
+    and save through the same CLI surface."""
+    from unittest import mock
+    monkeypatch.setenv("AOZORA_LOWMEM_RUNG", "two_pass")
+    # the rung is single-chip-only: pin to one device or the planner sees
+    # the 8-device test mesh (dp=8) and correctly refuses the rung
+    monkeypatch.setenv("AOZORA_DEVICES", "1")
+    config, _ = _build_anima_env(tmp_path)
+    with mock.patch(
+            "aozora_sdxl_training_tpu.train.anima_trainer."
+            "check_if_anima_caching_needed", return_value=False):
+        run_anima_training(config)
+    out = capsys.readouterr().out
+    assert "two-pass step" in out          # the plan actually chose it
+    assert "Optimizer Step: 2" in out
+    assert (tmp_path / "out" / "anima_run.safetensors").exists()
 
 
 def test_anima_training_produces_model(anima_e2e):

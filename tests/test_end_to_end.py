@@ -179,6 +179,9 @@ def test_two_pass_rung_trains_e2e(tmp_path, monkeypatch, capsys):
     the actual trainer loop: same CLI surface, GA=1, checkpoint saved."""
     from unittest import mock
     monkeypatch.setenv("AOZORA_LOWMEM_RUNG", "two_pass")
+    # the rung is single-chip-only: pin to one device or the planner sees
+    # the 8-device test mesh (dp=8) and correctly refuses the rung
+    monkeypatch.setenv("AOZORA_DEVICES", "1")
     ckpt = tmp_path / "base.safetensors"
     _build_checkpoint(ckpt)
     data_root = tmp_path / "data"
