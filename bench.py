@@ -14,6 +14,7 @@ regressions are visible between rounds.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -100,13 +101,26 @@ def main() -> None:
 
     value_and_grad = jax.value_and_grad(loss_fn)
 
+    # A/B knob for the in-jit grad-norm reduction (r3): "dot" computes
+    # each leaf's square-sum as a flat bf16 self-inner-product
+    # (MXU-accumulated in fp32, no fp32 upcast traffic) instead of the
+    # elementwise astype+square+reduce fusion.
+    norm_impl = os.environ.get("AOZORA_NORM_IMPL", "sumsq")
+
+    def _leaf_sq(g):
+        if norm_impl == "dot":
+            flat = g.reshape(-1)
+            return jax.lax.dot_general(
+                flat, flat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return jnp.sum(g.astype(jnp.float32) ** 2)
+
     def _step(*a):
         # reduce grads to a norm inside jit: the real trainer feeds grads
         # into donated accumulators, so no 5 GB gradient pytree should ever
         # round-trip out of the step
         loss, grads = value_and_grad(*a)
-        gsq = sum(jnp.sum(g.astype(jnp.float32) ** 2)
-                  for g in jax.tree.leaves(grads))
+        gsq = sum(_leaf_sq(g) for g in jax.tree.leaves(grads))
         return loss, jnp.sqrt(gsq)
 
     grad_fn = jax.jit(_step)

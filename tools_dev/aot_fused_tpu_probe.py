@@ -9,6 +9,7 @@ residency under budget.
 
     python tools_dev/aot_fused_tpu_probe.py [host=1] [latent=128] [batch=1]
     python tools_dev/aot_fused_tpu_probe.py mode=two_pass [latent=128]
+    python tools_dev/aot_fused_tpu_probe.py model=anima mode=two_pass
 """
 
 import sys; sys.path.insert(0, "/root/repo")
@@ -25,6 +26,7 @@ host = bool(int(args.get("host", 1)))
 latent = int(args.get("latent", 128))
 batch = int(args.get("batch", 1))
 mode = args.get("mode", "host")  # host | two_pass
+model = args.get("model", "sdxl")  # sdxl | anima
 
 from aozora_sdxl_training_tpu.models.sdxl.arch import SDXL_BASE
 from aozora_sdxl_training_tpu.models.sdxl.unet import init_params
@@ -80,7 +82,47 @@ def report(compiled, label):
           "not charged by the TPU allocator)")
 
 
-if mode == "two_pass":
+if model == "anima" and mode == "two_pass":
+    # full-size Anima DiT (2.09B, 1024px image mode -> 4096 tokens,
+    # 512-token adapter context), everything trainable, full remat —
+    # the single-chip configuration the planner maps to the two-pass rung
+    from aozora_sdxl_training_tpu.models.anima import dit as dit_mod
+    from aozora_sdxl_training_tpu.train.anima_trainer import (
+        _make_anima_loss_fn)
+    from aozora_sdxl_training_tpu.train.train_step import jit_two_pass_fused
+
+    acfg = dit_mod.ANIMA_BASE
+    a_shapes = {name: jax.ShapeDtypeStruct(tuple(shape), jnp.bfloat16)
+                for name, shape in dit_mod.param_shapes(acfg).items()}
+    a_state = jax.eval_shape(lambda t: adamw.init_state(t, opt_cfg), a_shapes)
+    n_a = sum(int(jnp.prod(jnp.array(v.shape))) for v in a_shapes.values())
+    print(f"anima trainable {n_a/1e9:.3f}B  latent {latent}x{latent}")
+    ctx = 512
+    a_batch = (
+        sds((b, latent, latent, acfg.in_channels), jnp.float32),  # latents
+        sds((b, ctx, acfg.adapter_source_dim), jnp.bfloat16),     # prompt_emb
+        sds((b, ctx), jnp.int32),                                 # t5_ids
+        sds((b,), jnp.int32),                                     # tickets
+        sds((b,), jnp.float32),                                   # sample_mask
+        None,                                                     # spatial_mask
+        sds((1000,), jnp.float32),                                # loss_weights
+        sds((), jnp.int32), sds((), jnp.int32),                   # seed, micro
+    )
+    loss_fn = _make_anima_loss_fn(acfg, compute_dtype=jnp.bfloat16,
+                                  attn_impl="flash", remat=True,
+                                  spatial_strength=0.0)
+    two_pass = jit_two_pass_fused(loss_fn, opt_cfg, 1.0)
+    print("lowering norm pass ...")
+    lo = two_pass.norm_jit.lower(a_shapes, {}, *a_batch)
+    print("compiling norm pass (remote, minutes) ...")
+    report(lo.compile(), "anima norm pass")
+    print("lowering update pass ...")
+    raw = jax.ShapeDtypeStruct((), jnp.float32)
+    lr = jax.ShapeDtypeStruct((), jnp.float32)
+    lo = two_pass.update_jit.lower(raw, lr, a_shapes, {}, a_state, *a_batch)
+    print("compiling update pass (remote, minutes) ...")
+    report(lo.compile(), "anima update pass")
+elif mode == "two_pass":
     from aozora_sdxl_training_tpu.train.train_step import (
         jit_two_pass_fused, make_loss_fn)
     two_pass = jit_two_pass_fused(make_loss_fn(step_cfg), opt_cfg,
