@@ -219,12 +219,30 @@ def apply_updates(params, grads, state: AdamWState, cfg: AdamWConfig, *,
     return result
 
 
+def leaf_square_sum(g: jax.Array) -> jax.Array:
+    """fp32 sum of squares of one gradient leaf.
+
+    With ``AOZORA_NORM_IMPL=dot`` the reduction is a flat self
+    inner-product with fp32 accumulation (``preferred_element_type``) —
+    on TPU a bf16 leaf then streams through the MXU without the fp32
+    upcast traffic of the default astype+square+reduce fusion.  Default
+    stays the elementwise fp32 reduction (reference-parity numerics:
+    torch clip_grad_norm_ upcasts to fp32 per element).
+    """
+    import os
+    if os.environ.get("AOZORA_NORM_IMPL", "") == "dot":
+        flat = g.reshape(-1)
+        return jax.lax.dot_general(flat, flat, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    return jnp.sum(g.astype(jnp.float32) ** 2)
+
+
 def global_grad_norm(grads, trainable_mask=None) -> jax.Array:
     leaves = jax.tree.leaves(grads)
     if trainable_mask is not None:
         mask = jax.tree.leaves(trainable_mask)
         leaves = [g for g, t in zip(leaves, mask) if t]
-    sq = sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in leaves)
+    sq = sum(leaf_square_sum(g) for g in leaves)
     return jnp.sqrt(sq)
 
 

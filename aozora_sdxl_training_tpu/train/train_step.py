@@ -181,7 +181,7 @@ def jit_two_pass_fused(loss_fn, opt_cfg: adamw.AdamWConfig,
     def norm_step(trainable, frozen, *batch):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, frozen, *batch)
-        normsq = sum(jnp.sum(g.astype(jnp.float32) ** 2)
+        normsq = sum(adamw.leaf_square_sum(g)
                      for g in jax.tree.leaves(grads))
         return loss, jnp.reshape(aux, (-1,))[0], jnp.sqrt(normsq)
 

@@ -187,3 +187,20 @@ def test_train_state_persists_schedule_global_batch(tmp_path):
                      extra={"schedule_global_batch": 8})
     meta, _ = load_train_state(path)
     assert meta["schedule_global_batch"] == 8
+
+
+def test_leaf_square_sum_dot_impl_matches(monkeypatch):
+    """AOZORA_NORM_IMPL=dot (flat self-inner-product, fp32 accumulation)
+    must agree with the default elementwise fp32 reduction."""
+    import numpy as np
+    from aozora_sdxl_training_tpu.opt.adamw import leaf_square_sum
+    g32 = jnp.asarray(np.random.default_rng(0).normal(size=(37, 53)),
+                      jnp.float32)
+    g16 = g32.astype(jnp.bfloat16)
+    monkeypatch.delenv("AOZORA_NORM_IMPL", raising=False)
+    base32 = float(leaf_square_sum(g32))
+    base16 = float(leaf_square_sum(g16))
+    monkeypatch.setenv("AOZORA_NORM_IMPL", "dot")
+    assert float(leaf_square_sum(g32)) == pytest.approx(base32, rel=1e-6)
+    # bf16 products round before accumulation: ~1e-2 relative worst case
+    assert float(leaf_square_sum(g16)) == pytest.approx(base16, rel=2e-2)
