@@ -176,6 +176,11 @@ def jit_two_pass_fused(loss_fn, opt_cfg: adamw.AdamWConfig,
     contract ``(trainable, frozen, opt_state, *batch, lr) -> (loss,
     aux0, new_params, new_state, raw_norm, update_norm)`` so it drops
     into the trainer's ``fused_fn`` slot unchanged.
+
+    Degenerate case: with clipping disabled (``clip_grad_norm <= 0``)
+    there is no cross-tensor dependency at all, so the step collapses to
+    ONE program at the update pass's memory shape — full-model
+    single-chip training at half the two-pass compute.
     """
 
     def norm_step(trainable, frozen, *batch):
@@ -225,6 +230,34 @@ def jit_two_pass_fused(loss_fn, opt_cfg: adamw.AdamWConfig,
             tied_params, clipped, tied_state, opt_cfg, lr=lr,
             return_update_sq=True)
         return new_params, new_state, jnp.sqrt(update_sq)
+
+    def one_pass_step(lr, trainable, frozen, opt_state, *batch):
+        # clip disabled: no cross-tensor norm dependency, so the whole
+        # step is ONE program — each grad still dies into its own update
+        # (+ its square-sum, a scalar) thanks to the barrier ties.  Same
+        # memory shape as the update pass, half the two-pass compute.
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, *batch)
+        normsq = sum(adamw.leaf_square_sum(g)
+                     for g in jax.tree.leaves(grads))
+        tied_params, tied_state = _tie_state_to_grads(
+            trainable, opt_state, grads)
+        new_params, new_state, update_sq = adamw.apply_updates(
+            tied_params, grads, tied_state, opt_cfg, lr=lr,
+            return_update_sq=True)
+        return (loss, jnp.reshape(aux, (-1,))[0], new_params, new_state,
+                jnp.sqrt(normsq), jnp.sqrt(update_sq))
+
+    if clip_grad_norm is None or float(clip_grad_norm) <= 0:
+        one_jit = jax.jit(one_pass_step, donate_argnums=(1, 3))
+
+        def one_pass(trainable, frozen, opt_state, *rest):
+            *batch, lr = rest
+            return one_jit(lr, trainable, frozen, opt_state, *batch)
+
+        one_pass.norm_jit = None
+        one_pass.update_jit = one_jit
+        return one_pass
 
     norm_jit = jax.jit(norm_step)
     update_jit = jax.jit(update_step, donate_argnums=(2, 4))
