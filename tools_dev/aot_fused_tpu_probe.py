@@ -122,6 +122,18 @@ if model == "anima" and mode == "two_pass":
     lo = two_pass.update_jit.lower(raw, lr, a_shapes, {}, a_state, *a_batch)
     print("compiling update pass (remote, minutes) ...")
     report(lo.compile(), "anima update pass")
+elif mode == "one_pass":
+    # clip disabled: the rung collapses to ONE program (train_step.py)
+    from aozora_sdxl_training_tpu.train.train_step import (
+        jit_two_pass_fused, make_loss_fn)
+    import dataclasses
+    cfg0 = dataclasses.replace(step_cfg, clip_grad_norm=0.0)
+    one = jit_two_pass_fused(make_loss_fn(cfg0), opt_cfg, 0.0)
+    *batch9, lr = (*batch_args, *scalars)
+    print("lowering one-pass step ...")
+    lo = one.update_jit.lower(lr, trainable, frozen, opt_state, *batch9)
+    print("compiling one-pass step (remote, minutes) ...")
+    report(lo.compile(), "one-pass step (clip disabled)")
 elif mode == "two_pass":
     from aozora_sdxl_training_tpu.train.train_step import (
         jit_two_pass_fused, make_loss_fn)
