@@ -60,6 +60,25 @@ EOF
 (cd "$ROOT/sdxl" && "${PY[@]}" -m aozora_sdxl_training_tpu.cli.train_sdxl \
     --config preset_resume.json | grep -E "RESUMING|Restored|Optimizer Step: [34]")
 
+step "SDXL: two-pass low-memory rung (single-chip full-model path)"
+python - "$ROOT" <<'EOF'
+import json, sys
+root = sys.argv[1]
+p = json.load(open(f"{root}/sdxl/preset.json"))
+s = p["sdxl"]
+s["sdxl_resume_training"] = False
+s["sdxl_output_name"] = "verify_two_pass"
+s["sdxl_max_train_steps"] = 2
+s["sdxl_gradient_accumulation_steps"] = 1
+s["sdxl_preview_every_n_steps"] = 0
+json.dump(p, open(f"{root}/sdxl/preset_two_pass.json", "w"), indent=1)
+EOF
+(cd "$ROOT/sdxl" && AOZORA_LOWMEM_RUNG=two_pass AOZORA_DEVICES=1 \
+    "${PY[@]}" -m aozora_sdxl_training_tpu.cli.train_sdxl \
+    --config preset_two_pass.json \
+    | grep -E "two-pass step|Optimizer Step: 2|complete")
+test -f "$ROOT/sdxl/out/verify_two_pass.safetensors"
+
 step "SDXL: incremental cache (1 caption re-encoded)"
 sed -i 's/.*/an edited caption/' "$(ls "$ROOT"/sdxl/data/*.txt | head -1)"
 (cd "$ROOT/sdxl" && "${PY[@]}" -m aozora_sdxl_training_tpu.cli.cache_datasets \
