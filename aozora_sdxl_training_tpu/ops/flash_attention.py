@@ -483,6 +483,74 @@ def _flash_core_bwd(scale, kv_valid, blocks, res, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+def _stats_layout(q, k, v):
+    """Shared pad/reshape for the stats-level entry points below."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    block_q, block_k = _pick_blocks(sq, skv)
+    sq_pad = _round_up(sq, block_q)
+    sk_pad = _round_up(skv, block_k)
+
+    def to3(x, s_pad):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
+        if s_pad != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
+        return x
+
+    return (b, sq, h, d, skv, block_q, block_k, sq_pad, sk_pad, to3)
+
+
+def flash_fwd_stats(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    scale: float | None = None):
+    """Forward kernel only: returns (out (B,Sq,H,D), lse (B,Sq,H) fp32).
+
+    No custom VJP is attached — this is the building block for ring /
+    context-parallel attention (ops/ring_attention.py) where the caller
+    owns the backward and needs the *global* log-sum-exp to merge KV-shard
+    partials exactly.
+    """
+    (b, sq, h, d, skv, block_q, block_k, sq_pad, sk_pad,
+     to3) = _stats_layout(q, k, v)
+    scale = (d ** -0.5) if scale is None else scale
+    out, lse = _flash_forward(to3(q, sq_pad), to3(k, sk_pad), to3(v, sk_pad),
+                              scale=scale, kv_valid=skv,
+                              block_q=block_q, block_k=block_k)
+    out = out[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    lse3 = lse[:, :sq, 0].reshape(b, h, sq).transpose(0, 2, 1)
+    return out, lse3
+
+
+def flash_bwd_stats(q: jax.Array, k: jax.Array, v: jax.Array,
+                    out: jax.Array, lse3: jax.Array, do: jax.Array, *,
+                    scale: float | None = None):
+    """Backward kernels from precomputed global statistics.
+
+    ``out``/``lse3`` are the GLOBAL attention output and log-sum-exp for
+    these q rows (shapes (B,Sq,H,D) / (B,Sq,H) fp32); k/v may be a SHARD
+    of the keys — the returned (dq, dk, dv) are then that shard's exact
+    contributions, which is precisely the per-rotation step of the ring
+    backward.  Padded q rows are harmless: q=0, do=0 rows produce zero
+    dS regardless of the (zero-padded) lse.
+    """
+    (b, sq, h, d, skv, block_q, block_k, sq_pad, sk_pad,
+     to3) = _stats_layout(q, k, v)
+    scale = (d ** -0.5) if scale is None else scale
+    lse_pad = jnp.transpose(lse3, (0, 2, 1)).reshape(b * h, sq)
+    if sq_pad != sq:
+        lse_pad = jnp.pad(lse_pad, ((0, 0), (0, sq_pad - sq)))
+    lse_pad = jnp.broadcast_to(lse_pad[..., None],
+                               (b * h, sq_pad, LANES)).astype(jnp.float32)
+    dq, dk, dv = _flash_backward(
+        to3(q, sq_pad), to3(k, sk_pad), to3(v, sk_pad), to3(out, sq_pad),
+        lse_pad, to3(do, sq_pad), scale=scale, kv_valid=skv,
+        block_q=block_q, block_k=block_k)
+
+    def un3(x, s):
+        return x[:, :s].reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+    return un3(dq, sq), un3(dk, skv), un3(dv, skv)
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     scale: float | None = None) -> jax.Array:
     """Exact attention. q: (B, Sq, H, D); k, v: (B, Skv, H, D)."""

@@ -1,0 +1,89 @@
+"""Ring (sequence-parallel) flash attention vs single-device attention.
+
+The token axis shards over an 8-device "sp" mesh axis; KV shards rotate
+via ppermute.  Forward AND gradients must match the plain attention of
+the assembled global sequence — the backward is a hand-built ring (the
+flash kernel's lse cotangent is deliberately dropped by its public VJP,
+so AD through the merge would be silently wrong; see
+ops/ring_attention.py).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from aozora_sdxl_training_tpu.ops.attention import dot_product_attention_xla
+from aozora_sdxl_training_tpu.ops.ring_attention import ring_flash_attention
+
+SP = 8
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()[:SP]), ("sp",))
+
+
+def _make_qkv(b=1, s=512, h=2, d=64, dtype=jnp.float32):
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (b, s, h, d), dtype)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, s, h, d), dtype)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, s, h, d), dtype)
+    return q, k, v
+
+
+def _ring_fn(mesh):
+    fn = functools.partial(ring_flash_attention, axis_name="sp",
+                           axis_size=SP)
+    return shard_map(fn, mesh=mesh,
+                     in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp")),
+                     out_specs=P(None, "sp"), check_vma=False)
+
+
+def test_ring_forward_matches_global_attention():
+    q, k, v = _make_qkv()
+    ref = dot_product_attention_xla(q, k, v)
+    with _mesh() as mesh:
+        out = jax.jit(_ring_fn(mesh))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ring_gradients_match_global_attention():
+    q, k, v = _make_qkv(s=256)
+
+    def loss_ref(q, k, v):
+        o = dot_product_attention_xla(q, k, v)
+        return jnp.sum(jnp.sin(o))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    with _mesh() as mesh:
+        ring = _ring_fn(mesh)
+
+        def loss_ring(q, k, v):
+            return jnp.sum(jnp.sin(ring(q, k, v)))
+
+        g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+
+    for gr, gg, name in zip(g_ref, g_ring, "qkv"):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gr),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("d", [128])
+def test_ring_forward_head_dim_128(d):
+    """DiT head_dim (folded-kernel dispatch inside flash_fwd_stats is not
+    taken — the stats path uses the 3D layout for any d — but d=128 is the
+    production Anima shape)."""
+    q, k, v = _make_qkv(s=256, h=1, d=d)
+    ref = dot_product_attention_xla(q, k, v)
+    with _mesh() as mesh:
+        out = jax.jit(_ring_fn(mesh))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
