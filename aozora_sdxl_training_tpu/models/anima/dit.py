@@ -163,9 +163,16 @@ def apply_rope_halfsplit(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Ar
 # Attention / blocks
 # --------------------------------------------------------------------------
 
+def _base_impl(attn_impl) -> str:
+    """The local attention impl: SP configs carry it as .base_impl."""
+    from ...ops.ring_attention import SPRingConfig
+    return (attn_impl.base_impl if isinstance(attn_impl, SPRingConfig)
+            else attn_impl)
+
+
 def _dit_attention(params: Params, prefix: str, x: jax.Array,
                    context: jax.Array | None, cfg: AnimaDiTConfig,
-                   rope=None, attn_impl: str = "xla") -> jax.Array:
+                   rope=None, attn_impl="xla") -> jax.Array:
     b, l, _ = x.shape
     heads, d = cfg.num_heads, cfg.head_dim
     ctx = x if context is None else context
@@ -178,7 +185,16 @@ def _dit_attention(params: Params, prefix: str, x: jax.Array,
         cos, sin = rope
         q = apply_rope_halfsplit(q, cos, sin)
         k = apply_rope_halfsplit(k, cos, sin)
-    o = attention(q, k, v, impl=attn_impl).reshape(b, l, heads * d)
+    from ...ops.ring_attention import SPRingConfig, sp_ring_attention
+    if context is None and isinstance(attn_impl, SPRingConfig):
+        # sequence parallelism: the self-attention tokens shard over the
+        # mesh axis and KV hops the ICI ring (ops/ring_attention.py);
+        # cross-attention/adapter sites need no communication (replicated
+        # 512-token context) and use attn_impl.base_impl locally
+        o = sp_ring_attention(q, k, v, attn_impl).reshape(b, l, heads * d)
+    else:
+        o = attention(q, k, v, impl=_base_impl(attn_impl)).reshape(
+            b, l, heads * d)
     return _linear(params, f"{prefix}.output_proj", o)
 
 
@@ -396,7 +412,8 @@ def dit_forward(params: Params, latents: jax.Array, timesteps: jax.Array,
     emb = _rms_norm(params, "t_embedding_norm", sin_emb)
 
     context = preprocess_text_embeds(params, context.astype(compute_dtype),
-                                     t5_ids, cfg, t5_weights, attn_impl)
+                                     t5_ids, cfg, t5_weights,
+                                     _base_impl(attn_impl))
 
     if fp32_residual:
         x = x.astype(jnp.float32)

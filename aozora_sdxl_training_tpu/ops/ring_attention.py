@@ -32,12 +32,50 @@ is pinned against single-device attention in tests/test_ring_attention.py
 from __future__ import annotations
 
 import functools
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import PartitionSpec as P
 
 from .flash_attention import flash_bwd_stats, flash_fwd_stats
+
+
+class SPRingConfig(NamedTuple):
+    """Sequence-parallel attention config, passed where a plain
+    ``attn_impl`` string is otherwise accepted (models/anima/dit.py).
+
+    ``base_impl`` is the local implementation used for the attention
+    sites that need no communication under SP (cross-attention to the
+    replicated 512-token context, the LLM adapter)."""
+    mesh: Any
+    axis_name: str
+    axis_size: int
+    base_impl: str = "flash"
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    from jax import shard_map as _sm
+    try:
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except TypeError:  # older jax spells the flag check_rep
+        return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
+def sp_ring_attention(q, k, v, sp: SPRingConfig, *,
+                      scale: float | None = None):
+    """Ring attention as a shard_map island over ``sp.axis_name``.
+
+    q, k, v: GLOBAL (B, S, H, D) values inside a jit over ``sp.mesh``;
+    the island reshards them to token-sharded layout (GSPMD inserts the
+    transfers if they aren't already laid out that way)."""
+    spec = P(None, sp.axis_name)
+    fn = functools.partial(ring_flash_attention, axis_name=sp.axis_name,
+                           axis_size=sp.axis_size, scale=scale)
+    return _shard_map(fn, sp.mesh, (spec, spec, spec), spec)(q, k, v)
 
 
 def _ring_perm(n: int):
