@@ -110,6 +110,11 @@ def _fields() -> list[Field]:
         # TPU extension (no reference equivalent): Megatron-style tensor
         # parallelism over the mesh's tp axis; 1 = dp/FSDP only.
         Field("TENSOR_PARALLEL_SIZE", 1, SHARED),
+        # TPU extension: sequence/context parallelism for the DiT — tokens
+        # shard over an sp mesh axis and self-attention runs the ring
+        # flash kernel (ops/ring_attention.py). Requires tp=1; the 12k+-
+        # token video clips are the target workload.
+        Field("SEQUENCE_PARALLEL_SIZE", 1, ANIMA_ONLY),
         # TPU extension: master-weight precision. "auto" lets
         # train.memory_policy pick fp32 when it fits the HBM budget and
         # fall back to bf16 master + fp32 update scratch (the reference's

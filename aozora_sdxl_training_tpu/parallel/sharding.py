@@ -36,6 +36,7 @@ class MeshLayout(NamedTuple):
     tp: int
     global_batch: int
     use_mesh: bool
+    sp: int = 1   # sequence-parallel degree (Anima DiT ring attention)
 
 
 def resolve_mesh_layout(config) -> MeshLayout:
@@ -54,29 +55,47 @@ def resolve_mesh_layout(config) -> MeshLayout:
     if limit > 0:
         devices = devices[:limit]
     tp = max(1, int(getattr(config, "TENSOR_PARALLEL_SIZE", 1) or 1))
+    sp = max(1, int(getattr(config, "SEQUENCE_PARALLEL_SIZE", 1) or 1))
+    if sp > 1 and tp > 1:
+        print("WARNING: SEQUENCE_PARALLEL_SIZE and TENSOR_PARALLEL_SIZE "
+              "cannot combine (both shard attention); falling back to tp=1.")
+        tp = 1
     if len(devices) % tp != 0:
         print(f"WARNING: TENSOR_PARALLEL_SIZE={tp} does not divide "
               f"{len(devices)} device(s); falling back to tp=1.")
         tp = 1
-    dp = max(1, len(devices) // tp)
+    if len(devices) % sp != 0:
+        print(f"WARNING: SEQUENCE_PARALLEL_SIZE={sp} does not divide "
+              f"{len(devices)} device(s); falling back to sp=1.")
+        sp = 1
+    dp = max(1, len(devices) // (tp * sp))
     per_shard = int(config.BATCH_SIZE)
     global_batch = per_shard * dp
     use_mesh = len(devices) > 1
-    if dp > 1:
+    if dp > 1 or sp > 1:
         print(f"INFO: BATCH_SIZE={per_shard} is per-dp-shard: global batch "
               f"= {per_shard} x dp{dp} = {global_batch} "
-              f"(mesh dp={dp} x tp={tp} over {dp * tp} device(s)).")
-    return MeshLayout(tuple(devices[: dp * tp]), dp, tp, global_batch,
-                      use_mesh)
+              f"(mesh dp={dp} x tp={tp} x sp={sp} over "
+              f"{dp * tp * sp} device(s)).")
+    return MeshLayout(tuple(devices[: dp * tp * sp]), dp, tp, global_batch,
+                      use_mesh, sp)
 
 
-def make_mesh(devices=None, *, dp: int | None = None, tp: int = 1) -> Mesh:
+def make_mesh(devices=None, *, dp: int | None = None, tp: int = 1,
+              sp: int = 1) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     tp = max(1, int(tp))
-    dp = dp or len(devices) // tp
-    if dp * tp > len(devices) or len(devices) % (dp * tp):
+    sp = max(1, int(sp))
+    dp = dp or len(devices) // (tp * sp)
+    if dp * tp * sp > len(devices) or len(devices) % (dp * tp * sp):
         raise ValueError(f"{len(devices)} devices not divisible by "
-                         f"dp={dp} x tp={tp}")
+                         f"dp={dp} x tp={tp} x sp={sp}")
+    if sp > 1:
+        # ring attention shards tokens over sp; params/batches replicate
+        # over it (their specs never name "sp").  tp+sp never combine
+        # (resolve_mesh_layout forces tp=1).
+        return Mesh(np.asarray(devices[: dp * sp]).reshape(dp, sp),
+                    ("dp", "sp"))
     if tp == 1:
         return Mesh(np.asarray(devices[:dp]).reshape(dp), ("dp",))
     return Mesh(np.asarray(devices[: dp * tp]).reshape(dp, tp), ("dp", "tp"))

@@ -276,6 +276,21 @@ def run_anima_training(config, *, post_step_hook=None,
         print(f"INFO: Cached line-art loss: enabled=True, "
               f"max_weight={1.0 + lineart_strength:g}x")
     clip = float(config.CLIP_GRAD_NORM)
+    # sequence parallelism (SEQUENCE_PARALLEL_SIZE > 1): DiT self-attention
+    # tokens shard over the mesh's sp axis via ring flash attention; the
+    # training-step attn_impl becomes an SPRingConfig (dit.py dispatches on
+    # it), while single-chip paths and the preview sampler keep the string.
+    base_attn_impl = attn_impl
+    sp_mesh = None
+    if layout.use_mesh and layout.sp > 1:
+        from ..ops.ring_attention import SPRingConfig
+        sp_mesh = shard.make_mesh(layout.devices, dp=layout.dp,
+                                  tp=layout.tp, sp=layout.sp)
+        attn_impl = SPRingConfig(mesh=sp_mesh, axis_name="sp",
+                                 axis_size=layout.sp,
+                                 base_impl=base_attn_impl)
+        print(f"INFO: Sequence parallelism: DiT self-attention tokens shard "
+              f"over sp={layout.sp} (ring flash attention, KV over ICI).")
     micro = make_anima_micro_step(
         dit_cfg, grad_accum_steps=config.GRADIENT_ACCUMULATION_STEPS,
         compute_dtype=config.compute_dtype, attn_impl=attn_impl, remat=remat,
@@ -308,7 +323,8 @@ def run_anima_training(config, *, post_step_hook=None,
     use_mesh = layout.use_mesh
     mesh_shardings = None
     if use_mesh:
-        mesh = shard.make_mesh(layout.devices, dp=layout.dp, tp=layout.tp)
+        mesh = (sp_mesh if sp_mesh is not None else
+                shard.make_mesh(layout.devices, dp=layout.dp, tp=layout.tp))
         mesh_shardings = {
             "trainable": shard.params_shardings(trainable, mesh),
             "frozen": shard.params_shardings(frozen, mesh),
@@ -397,7 +413,7 @@ def run_anima_training(config, *, post_step_hook=None,
     preview_decoder = None
     if int(getattr(config, "ANIMA_PREVIEW_EVERY_N_STEPS", 0) or 0) > 0:
         preview_decoder = load_decoder_for_preview(config)
-    preview = AnimaPreviewRenderer(config, dit_cfg, attn_impl=attn_impl,
+    preview = AnimaPreviewRenderer(config, dit_cfg, attn_impl=base_attn_impl,
                                    compute_dtype=config.compute_dtype,
                                    decoder=preview_decoder)
     if preview.enabled:

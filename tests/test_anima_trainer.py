@@ -203,3 +203,42 @@ def test_dit_config_detects_latent_channels():
     # and the detected config round-trips the checkpoint
     reloaded = dit_mod.params_from_torch_state(state, det)
     assert set(reloaded) == set(params)
+
+
+def test_anima_sp8_matches_single_device_numerics(tmp_path, monkeypatch,
+                                                  capsys):
+    """SEQUENCE_PARALLEL_SIZE=8 (tokens sharded over the sp mesh axis,
+    ring flash attention) must reproduce the single-device run: same
+    losses, same saved weights.  Exactness is the ring's contract — the
+    merge through lse statistics is algebraically the full softmax."""
+    from unittest import mock
+
+    def run(subdir, devices_env, sp):
+        root = tmp_path / subdir
+        root.mkdir()
+        if devices_env:
+            monkeypatch.setenv("AOZORA_DEVICES", devices_env)
+        else:
+            monkeypatch.delenv("AOZORA_DEVICES", raising=False)
+        config, _ = _build_anima_env(
+            root, SEQUENCE_PARALLEL_SIZE=sp, MAX_TRAIN_STEPS=2,
+            SAVE_EVERY_N_STEPS=0)
+        with mock.patch(
+                "aozora_sdxl_training_tpu.train.anima_trainer."
+                "check_if_anima_caching_needed", return_value=False):
+            run_anima_training(config)
+        out = capsys.readouterr().out
+        losses = [float(m) for m in
+                  __import__("re").findall(r"Loss: ([\d.]+)", out)]
+        state, _ = load_dit_state(root / "out" / "anima_run.safetensors")
+        return losses, state
+
+    losses_sp, state_sp = run("sp8", devices_env=None, sp=8)
+    losses_1, state_1 = run("one", devices_env="1", sp=1)
+    assert losses_sp and len(losses_sp) == len(losses_1)
+    np.testing.assert_allclose(losses_sp, losses_1, rtol=2e-3)
+    for k in state_1:
+        np.testing.assert_allclose(
+            np.asarray(state_sp[k], np.float32),
+            np.asarray(state_1[k], np.float32),
+            rtol=2e-2, atol=2e-3, err_msg=k)
