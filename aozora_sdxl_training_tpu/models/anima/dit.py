@@ -176,9 +176,24 @@ def _dit_attention(params: Params, prefix: str, x: jax.Array,
     b, l, _ = x.shape
     heads, d = cfg.num_heads, cfg.head_dim
     ctx = x if context is None else context
-    q = _linear(params, f"{prefix}.q_proj", x).reshape(b, l, heads, d)
-    k = _linear(params, f"{prefix}.k_proj", ctx).reshape(b, ctx.shape[1], heads, d)
-    v = _linear(params, f"{prefix}.v_proj", ctx).reshape(b, ctx.shape[1], heads, d)
+    from ...ops.fused_proj import fused_linear, fused_qkv_enabled
+    if fused_qkv_enabled() and context is None:
+        q, k, v = fused_linear(
+            params,
+            [f"{prefix}.q_proj", f"{prefix}.k_proj", f"{prefix}.v_proj"], x)
+        q = q.reshape(b, l, heads, d)
+        k = k.reshape(b, ctx.shape[1], heads, d)
+        v = v.reshape(b, ctx.shape[1], heads, d)
+    elif fused_qkv_enabled():
+        q = _linear(params, f"{prefix}.q_proj", x).reshape(b, l, heads, d)
+        k, v = fused_linear(
+            params, [f"{prefix}.k_proj", f"{prefix}.v_proj"], ctx)
+        k = k.reshape(b, ctx.shape[1], heads, d)
+        v = v.reshape(b, ctx.shape[1], heads, d)
+    else:
+        q = _linear(params, f"{prefix}.q_proj", x).reshape(b, l, heads, d)
+        k = _linear(params, f"{prefix}.k_proj", ctx).reshape(b, ctx.shape[1], heads, d)
+        v = _linear(params, f"{prefix}.v_proj", ctx).reshape(b, ctx.shape[1], heads, d)
     q = _rms_norm(params, f"{prefix}.q_norm", q)
     k = _rms_norm(params, f"{prefix}.k_norm", k)
     if rope is not None and context is None:  # rope only on self-attention

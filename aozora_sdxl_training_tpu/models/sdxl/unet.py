@@ -50,12 +50,22 @@ def _conv_bwd_mode() -> str:
 def conv2d(params: Params, name: str, x: jax.Array, *, stride: int = 1) -> jax.Array:
     kernel = _w(params, f"{name}.weight", x.dtype)
     kh, kw = kernel.shape[0], kernel.shape[1]
-    if kh == 3 and stride == 1 and _conv_bwd_mode() == "gemm":
+    if kh == 3 and stride == 1 and _conv_bwd_mode() in ("gemm", "gemm2"):
         # GEMM-decomposed backward (ops/conv.py): dW as nine big-K GEMMs
-        # instead of XLA's window-dilated conv transpose. A/B knob for the
-        # conv-bound 61% of the step; e2e timing decides (r2 rule).
+        # instead of XLA's window-dilated conv transpose; "gemm2" also
+        # GEMM-decomposes dgrad (the r2 trace's 31 TF/s offenders). A/B
+        # knob for the conv-bound 61% of the step; e2e timing decides.
         from ...ops.conv import conv3x3_gemm_bwd
         y = conv3x3_gemm_bwd(x, kernel)
+        bias = params.get(f"{name}.bias")
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+    if kh == 3 and stride == 2 and _conv_bwd_mode() == "gemm2" \
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        # downsampler convs: phase-decomposed GEMM backward (ops/conv.py)
+        from ...ops.conv import conv3x3_s2_gemm_bwd
+        y = conv3x3_s2_gemm_bwd(x, kernel)
         bias = params.get(f"{name}.bias")
         if bias is not None:
             y = y + bias.astype(y.dtype)
@@ -151,9 +161,24 @@ def _attention_layer(params: Params, prefix: str, x: jax.Array,
                      context: jax.Array, num_heads: int, attn_impl: str) -> jax.Array:
     b, s, c = x.shape
     d = c // num_heads
-    q = linear(params, f"{prefix}.to_q", x).reshape(b, s, num_heads, d)
-    k = linear(params, f"{prefix}.to_k", context).reshape(b, context.shape[1], num_heads, d)
-    v = linear(params, f"{prefix}.to_v", context).reshape(b, context.shape[1], num_heads, d)
+    sk = context.shape[1]
+    from ...ops.fused_proj import fused_linear, fused_qkv_enabled
+    if fused_qkv_enabled() and context is x:
+        q, k, v = fused_linear(
+            params, [f"{prefix}.to_q", f"{prefix}.to_k", f"{prefix}.to_v"], x)
+        q = q.reshape(b, s, num_heads, d)
+        k = k.reshape(b, sk, num_heads, d)
+        v = v.reshape(b, sk, num_heads, d)
+    elif fused_qkv_enabled():
+        q = linear(params, f"{prefix}.to_q", x).reshape(b, s, num_heads, d)
+        k, v = fused_linear(
+            params, [f"{prefix}.to_k", f"{prefix}.to_v"], context)
+        k = k.reshape(b, sk, num_heads, d)
+        v = v.reshape(b, sk, num_heads, d)
+    else:
+        q = linear(params, f"{prefix}.to_q", x).reshape(b, s, num_heads, d)
+        k = linear(params, f"{prefix}.to_k", context).reshape(b, sk, num_heads, d)
+        v = linear(params, f"{prefix}.to_v", context).reshape(b, sk, num_heads, d)
     o = attention(q, k, v, impl=attn_impl).reshape(b, s, c)
     return linear(params, f"{prefix}.to_out.0", o)
 

@@ -67,7 +67,7 @@ def main() -> None:
     from aozora_sdxl_training_tpu.train import objectives
 
     cfg = SDXL_BASE
-    batch = 1
+    batch = int(os.environ.get("AOZORA_BENCH_BATCH", "1"))
     latent_hw = 128  # 1024px
     seq = 77
     # r2 sweep (v5e-1, 1024px b1), best measured config — 248.3 ms/step,
