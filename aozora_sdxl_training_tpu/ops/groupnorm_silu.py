@@ -150,6 +150,15 @@ def group_norm_silu(x: jax.Array, scale: jax.Array, bias: jax.Array, *,
     The Pallas kernel stays available (interpret-verified) as the starting
     point for a future conv-epilogue fusion where the bandwidth saving is
     real.
+
+    r3 trace evidence closes the question: the r2 SDXL step's HLO stats
+    show XLA's forward conv fusions ALREADY absorb the GroupNorm stats and
+    epilogue (tuple-output "convolution fusion" rows producing
+    (bias, mean, var, conv) at 176-187 TF/s = ~90% of v5e peak), so a
+    hand-written conv+GN epilogue has no bandwidth left to save on the
+    forward path.  The real conv-frontier offenders were the backward
+    convs and the S=1024 XLA attention — addressed by AOZORA_CONV_BWD=gemm2
+    (ops/conv.py) and the flash-attention dispatch threshold instead.
     """
     if use_pallas:
         return _fused(x, scale, bias, groups, eps)
