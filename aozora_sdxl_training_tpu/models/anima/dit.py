@@ -327,11 +327,26 @@ def _adapter_attention(params: Params, prefix: str, x: jax.Array,
                        attn_impl: str = "xla") -> jax.Array:
     b, l, dq = x.shape
     d = dq // heads
-    q = _linear(params, f"{prefix}.q_proj", x).reshape(b, l, heads, d)
-    k = _linear(params, f"{prefix}.k_proj", context).reshape(
-        b, context.shape[1], heads, d)
-    v = _linear(params, f"{prefix}.v_proj", context).reshape(
-        b, context.shape[1], heads, d)
+    from ...ops.fused_proj import fused_linear, fused_qkv_enabled
+    if fused_qkv_enabled() and context is x:
+        q, k, v = fused_linear(
+            params,
+            [f"{prefix}.q_proj", f"{prefix}.k_proj", f"{prefix}.v_proj"], x)
+        q = q.reshape(b, l, heads, d)
+        k = k.reshape(b, context.shape[1], heads, d)
+        v = v.reshape(b, context.shape[1], heads, d)
+    elif fused_qkv_enabled():
+        q = _linear(params, f"{prefix}.q_proj", x).reshape(b, l, heads, d)
+        k, v = fused_linear(
+            params, [f"{prefix}.k_proj", f"{prefix}.v_proj"], context)
+        k = k.reshape(b, context.shape[1], heads, d)
+        v = v.reshape(b, context.shape[1], heads, d)
+    else:
+        q = _linear(params, f"{prefix}.q_proj", x).reshape(b, l, heads, d)
+        k = _linear(params, f"{prefix}.k_proj", context).reshape(
+            b, context.shape[1], heads, d)
+        v = _linear(params, f"{prefix}.v_proj", context).reshape(
+            b, context.shape[1], heads, d)
     q = _rms_norm(params, f"{prefix}.q_norm", q)
     k = _rms_norm(params, f"{prefix}.k_norm", k)
     if rope_q is not None:
