@@ -131,3 +131,28 @@ def test_fused_qkv_under_tp_mesh_parity(monkeypatch):
         p, *a, cfg=cfg, compute_dtype=jnp.float32))(params_s, *args_s)
     np.testing.assert_allclose(np.asarray(base), np.asarray(fused),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_bf16probs_attention_parity(monkeypatch):
+    """AOZORA_XLA_ATTN=bf16probs: fwd matches default XLA attention; grads
+    match to bf16-probs tolerance."""
+    from aozora_sdxl_training_tpu.ops import attention as attn_mod
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (1, 64, 4, 16), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 48, 4, 16), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 48, 4, 16), jnp.float32)
+
+    def loss(q_, k_, v_):
+        return jnp.sum(attn_mod.dot_product_attention_xla(q_, k_, v_) ** 2)
+
+    monkeypatch.delenv("AOZORA_XLA_ATTN", raising=False)
+    out0 = attn_mod.dot_product_attention_xla(q, k, v)
+    g0 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("AOZORA_XLA_ATTN", "bf16probs")
+    out1 = attn_mod.dot_product_attention_xla(q, k, v)
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2)
