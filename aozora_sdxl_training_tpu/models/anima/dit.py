@@ -406,18 +406,17 @@ def preprocess_text_embeds(params: Params, text_embeds: jax.Array,
 # Full forward
 # --------------------------------------------------------------------------
 
-def dit_forward(params: Params, latents: jax.Array, timesteps: jax.Array,
-                context: jax.Array, *, cfg: AnimaDiTConfig,
-                t5_ids: jax.Array | None = None,
-                t5_weights: jax.Array | None = None,
-                attn_impl: str = "xla",
-                compute_dtype=jnp.bfloat16,
-                remat: bool = True,
-                fp32_residual: bool = False) -> jax.Array:
-    """latents: (B, T, H, W, C) channel-last; timesteps: (B,) or (B, T).
+def dit_prologue(params: Params, latents: jax.Array, timesteps: jax.Array,
+                 context: jax.Array, *, cfg: AnimaDiTConfig,
+                 t5_ids: jax.Array | None = None,
+                 t5_weights: jax.Array | None = None,
+                 attn_impl: str = "xla",
+                 compute_dtype=jnp.bfloat16,
+                 fp32_residual: bool = False):
+    """Everything before the block stack: patchify + embedders + adapter.
 
-    Returns (B, T, H, W, C_out) cropped back to the input spatial size.
-    """
+    Returns (x, emb, context, rope, lora, orig_shape) — the per-block
+    loop inputs (shared by the sequential and pipeline-parallel paths)."""
     pt, ps = cfg.patch_temporal, cfg.patch_spatial
     orig = latents.shape
     x = pad_to_patch_size(latents.astype(compute_dtype), pt, ps)
@@ -447,7 +446,11 @@ def dit_forward(params: Params, latents: jax.Array, timesteps: jax.Array,
 
     if fp32_residual:
         x = x.astype(jnp.float32)
+    return x, emb, context, rope, lora, orig
 
+
+def make_block_fn(cfg: AnimaDiTConfig, attn_impl, remat):
+    """The per-block callable, with the remat policy applied."""
     block_fn = functools.partial(dit_block, cfg=cfg, attn_impl=attn_impl)
     if remat == "conservative":
         # reference's selective checkpointing: keep the wide->narrow MLP
@@ -460,10 +463,14 @@ def dit_forward(params: Params, latents: jax.Array, timesteps: jax.Array,
                 "mlp_down", "flash_out", "flash_lse"))
     elif remat:
         block_fn = jax.checkpoint(block_fn, static_argnums=(1,))
-    for i in range(cfg.num_blocks):
-        x = block_fn(params, f"blocks.{i}", x, emb, context, rope, lora)
+    return block_fn
 
-    # final layer: 2-chunk AdaLN (shift, scale) + linear
+
+def dit_epilogue(params: Params, x: jax.Array, emb: jax.Array,
+                 lora: jax.Array, orig, *, cfg: AnimaDiTConfig,
+                 compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Final 2-chunk AdaLN + linear + unpatchify + crop."""
+    pt, ps = cfg.patch_temporal, cfg.patch_spatial
     x = x.astype(compute_dtype)
     fl = jax.nn.silu(emb)
     fl = _linear(params, "final_layer.adaln_modulation.1", fl)
@@ -475,6 +482,29 @@ def dit_forward(params: Params, latents: jax.Array, timesteps: jax.Array,
     x = _linear(params, "final_layer.linear", x)
     x = unpatchify(x, pt, ps, cfg.out_channels)
     return x[:, : orig[1], : orig[2], : orig[3], :]
+
+
+def dit_forward(params: Params, latents: jax.Array, timesteps: jax.Array,
+                context: jax.Array, *, cfg: AnimaDiTConfig,
+                t5_ids: jax.Array | None = None,
+                t5_weights: jax.Array | None = None,
+                attn_impl: str = "xla",
+                compute_dtype=jnp.bfloat16,
+                remat: bool = True,
+                fp32_residual: bool = False) -> jax.Array:
+    """latents: (B, T, H, W, C) channel-last; timesteps: (B,) or (B, T).
+
+    Returns (B, T, H, W, C_out) cropped back to the input spatial size.
+    """
+    x, emb, context, rope, lora, orig = dit_prologue(
+        params, latents, timesteps, context, cfg=cfg, t5_ids=t5_ids,
+        t5_weights=t5_weights, attn_impl=attn_impl,
+        compute_dtype=compute_dtype, fp32_residual=fp32_residual)
+    block_fn = make_block_fn(cfg, attn_impl, remat)
+    for i in range(cfg.num_blocks):
+        x = block_fn(params, f"blocks.{i}", x, emb, context, rope, lora)
+    return dit_epilogue(params, x, emb, lora, orig, cfg=cfg,
+                        compute_dtype=compute_dtype)
 
 
 # --------------------------------------------------------------------------
