@@ -115,6 +115,13 @@ def _fields() -> list[Field]:
         # flash kernel (ops/ring_attention.py). Requires tp=1; the 12k+-
         # token video clips are the target workload.
         Field("SEQUENCE_PARALLEL_SIZE", 1, ANIMA_ONLY),
+        # TPU extension: GPipe pipeline parallelism for the DiT — blocks
+        # stage-stack over a pp mesh axis, microbatches stream through the
+        # stage ring (parallel/pipeline.py). Requires tp=1, sp=1;
+        # BATCH_SIZE (per dp shard) must be divisible by the microbatch
+        # count (0 = one microbatch per sample).
+        Field("PIPELINE_PARALLEL_SIZE", 1, ANIMA_ONLY),
+        Field("ANIMA_PIPELINE_MICROBATCHES", 0, ANIMA_ONLY),
         # TPU extension: master-weight precision. "auto" lets
         # train.memory_policy pick fp32 when it fits the HBM budget and
         # fall back to bf16 master + fp32 update scratch (the reference's

@@ -158,3 +158,64 @@ def pp_dit_forward(stacked: dict, rest: dict, latents, timesteps, context,
                         microbatches=microbatches)
     return dit.dit_epilogue(rest, x, emb, lora, orig, cfg=cfg,
                             compute_dtype=compute_dtype)
+
+
+# --------------------------------------------------------------------------
+# Trainer integration: stacked params living inside an ordinary flat dict
+# --------------------------------------------------------------------------
+
+STACK_PREFIX = "__stack__."
+
+
+class PPConfig:
+    """Pipeline-parallel run settings threaded into the loss function."""
+
+    def __init__(self, mesh, microbatches: int):
+        self.mesh = mesh
+        self.microbatches = int(microbatches)
+
+
+def stackify_params(params: dict, num_blocks: int) -> dict:
+    """Flat dict -> flat dict where every ``blocks.{i}.<suffix>`` family
+    becomes one ``__stack__.<suffix>`` leaf of shape ``[num_blocks, ...]``.
+
+    The stacked layout keeps the optimizer / grad-accum / checkpoint-state
+    machinery oblivious to pipeline parallelism (they see ordinary
+    name->tensor dicts); only the loss function and the sharding rules
+    special-case the prefix.  Every suffix must be present for every block
+    (freezing must be block-uniform) — otherwise the stage stacking is
+    ill-defined and this raises.
+    """
+    block_names = [k for k in params if BLOCK_RE.match(k)]
+    per_suffix: dict[str, int] = {}
+    for k in block_names:
+        per_suffix.setdefault(BLOCK_RE.match(k).group(2), 0)
+        per_suffix[BLOCK_RE.match(k).group(2)] += 1
+    bad = {s: n for s, n in per_suffix.items() if n != num_blocks}
+    if bad:
+        raise ValueError(
+            "pipeline parallelism needs block-uniform trainability; these "
+            f"suffixes are not present for all {num_blocks} blocks: "
+            f"{sorted(bad)} (adjust the trained-keywords filter)")
+    stacked, rest = split_block_params(params, num_blocks)
+    return {**{STACK_PREFIX + s: v for s, v in stacked.items()}, **rest}
+
+
+def unstackify_params(params: dict, num_blocks: int) -> dict:
+    """Inverse of :func:`stackify_params` (no-op without stacked keys)."""
+    stacked = {k[len(STACK_PREFIX):]: v for k, v in params.items()
+               if k.startswith(STACK_PREFIX)}
+    rest = {k: v for k, v in params.items()
+            if not k.startswith(STACK_PREFIX)}
+    if not stacked:
+        return rest
+    return merge_block_params(stacked, rest, num_blocks)
+
+
+def split_stacked(params: dict):
+    """{__stack__.s: v, rest...} -> (stacked {s: v}, rest)."""
+    stacked = {k[len(STACK_PREFIX):]: v for k, v in params.items()
+               if k.startswith(STACK_PREFIX)}
+    rest = {k: v for k, v in params.items()
+            if not k.startswith(STACK_PREFIX)}
+    return stacked, rest

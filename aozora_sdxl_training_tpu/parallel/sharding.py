@@ -37,6 +37,7 @@ class MeshLayout(NamedTuple):
     global_batch: int
     use_mesh: bool
     sp: int = 1   # sequence-parallel degree (Anima DiT ring attention)
+    pp: int = 1   # pipeline-parallel degree (Anima DiT GPipe stages)
 
 
 def resolve_mesh_layout(config) -> MeshLayout:
@@ -56,10 +57,15 @@ def resolve_mesh_layout(config) -> MeshLayout:
         devices = devices[:limit]
     tp = max(1, int(getattr(config, "TENSOR_PARALLEL_SIZE", 1) or 1))
     sp = max(1, int(getattr(config, "SEQUENCE_PARALLEL_SIZE", 1) or 1))
+    pp = max(1, int(getattr(config, "PIPELINE_PARALLEL_SIZE", 1) or 1))
     if sp > 1 and tp > 1:
         print("WARNING: SEQUENCE_PARALLEL_SIZE and TENSOR_PARALLEL_SIZE "
               "cannot combine (both shard attention); falling back to tp=1.")
         tp = 1
+    if pp > 1 and (tp > 1 or sp > 1):
+        print("WARNING: PIPELINE_PARALLEL_SIZE cannot combine with "
+              "TENSOR/SEQUENCE_PARALLEL_SIZE; falling back to tp=1, sp=1.")
+        tp = sp = 1
     if len(devices) % tp != 0:
         print(f"WARNING: TENSOR_PARALLEL_SIZE={tp} does not divide "
               f"{len(devices)} device(s); falling back to tp=1.")
@@ -68,28 +74,39 @@ def resolve_mesh_layout(config) -> MeshLayout:
         print(f"WARNING: SEQUENCE_PARALLEL_SIZE={sp} does not divide "
               f"{len(devices)} device(s); falling back to sp=1.")
         sp = 1
-    dp = max(1, len(devices) // (tp * sp))
+    if len(devices) % pp != 0:
+        print(f"WARNING: PIPELINE_PARALLEL_SIZE={pp} does not divide "
+              f"{len(devices)} device(s); falling back to pp=1.")
+        pp = 1
+    dp = max(1, len(devices) // (tp * sp * pp))
     per_shard = int(config.BATCH_SIZE)
     global_batch = per_shard * dp
     use_mesh = len(devices) > 1
-    if dp > 1 or sp > 1:
+    if dp > 1 or sp > 1 or pp > 1:
         print(f"INFO: BATCH_SIZE={per_shard} is per-dp-shard: global batch "
               f"= {per_shard} x dp{dp} = {global_batch} "
-              f"(mesh dp={dp} x tp={tp} x sp={sp} over "
-              f"{dp * tp * sp} device(s)).")
-    return MeshLayout(tuple(devices[: dp * tp * sp]), dp, tp, global_batch,
-                      use_mesh, sp)
+              f"(mesh dp={dp} x tp={tp} x sp={sp} x pp={pp} over "
+              f"{dp * tp * sp * pp} device(s)).")
+    return MeshLayout(tuple(devices[: dp * tp * sp * pp]), dp, tp,
+                      global_batch, use_mesh, sp, pp)
 
 
 def make_mesh(devices=None, *, dp: int | None = None, tp: int = 1,
-              sp: int = 1) -> Mesh:
+              sp: int = 1, pp: int = 1) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     tp = max(1, int(tp))
     sp = max(1, int(sp))
-    dp = dp or len(devices) // (tp * sp)
-    if dp * tp * sp > len(devices) or len(devices) % (dp * tp * sp):
+    pp = max(1, int(pp))
+    dp = dp or len(devices) // (tp * sp * pp)
+    if dp * tp * sp * pp > len(devices) or len(devices) % (dp * tp * sp * pp):
         raise ValueError(f"{len(devices)} devices not divisible by "
-                         f"dp={dp} x tp={tp} x sp={sp}")
+                         f"dp={dp} x tp={tp} x sp={sp} x pp={pp}")
+    if pp > 1:
+        # GPipe stage axis (parallel/pipeline.py); block params shard as
+        # __stack__ leaves over pp, everything else replicates over it.
+        # tp/sp never combine with pp (resolve_mesh_layout enforces).
+        return Mesh(np.asarray(devices[: dp * pp]).reshape(dp, pp),
+                    ("dp", "pp"))
     if sp > 1:
         # ring attention shards tokens over sp; params/batches replicate
         # over it (their specs never name "sp").  tp+sp never combine
@@ -174,9 +191,14 @@ def params_shardings(params, mesh: Mesh, mode: str = "fsdp",
     dp_size = int(mesh.shape.get("dp", mesh.devices.size))
     tp_size = int(mesh.shape.get("tp", 1))
 
+    pp_axis = "pp" in mesh.axis_names
+
     def one(name, p):
         if isinstance(p, tuple):  # int8 moment leaves: (codes, scales)
             return tuple(one(name, e) for e in p)
+        if pp_axis and name.startswith("__stack__."):
+            # stage-stacked block leaf: axis 0 is the pipeline stage axis
+            return NamedSharding(mesh, P("pp"))
         spec = tp_param_spec(name, tuple(p.shape), tp_size)
         if spec is None:
             spec = param_partition_spec(tuple(p.shape), dp_size, mode,
@@ -193,9 +215,13 @@ def opt_state_shardings(opt_state, mesh: Mesh, mode: str = "fsdp"):
     dp_size = int(mesh.shape.get("dp", mesh.devices.size))
     tp_size = int(mesh.shape.get("tp", 1))
 
+    pp_axis = "pp" in mesh.axis_names
+
     def one_named(name, x):
         if getattr(x, "ndim", 0) == 0:
             return NamedSharding(mesh, P())
+        if pp_axis and name.startswith("__stack__."):
+            return NamedSharding(mesh, P("pp"))
         spec = tp_param_spec(name, tuple(x.shape), tp_size)
         if spec is None:
             spec = param_partition_spec(tuple(x.shape), dp_size, mode)

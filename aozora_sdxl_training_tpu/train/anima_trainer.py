@@ -56,7 +56,8 @@ def split_trainable_dit(params, exclude_keywords):
 
 
 def _make_anima_loss_fn(cfg: dit_mod.AnimaDiTConfig, *, compute_dtype,
-                        attn_impl, remat, spatial_strength: float):
+                        attn_impl, remat, spatial_strength: float,
+                        pp_cfg=None):
     def loss_fn(trainable, frozen, latents, prompt_emb, t5_ids, tickets,
                 sample_mask, spatial_mask, loss_weights, seed, micro_step):
         from . import objectives as sdxl_obj
@@ -69,10 +70,25 @@ def _make_anima_loss_fn(cfg: dit_mod.AnimaDiTConfig, *, compute_dtype,
         # (B, T, H, W, C) straight through.  DiT conditioned on t/1000.
         video = noisy.ndim == 5
         x_in = noisy if video else noisy[:, None]
-        pred = dit_mod.dit_forward(
-            params, x_in.astype(compute_dtype), timesteps / 1000.0,
-            prompt_emb.astype(compute_dtype), cfg=cfg, t5_ids=t5_ids,
-            attn_impl=attn_impl, compute_dtype=compute_dtype, remat=remat)
+        if pp_cfg is not None:
+            # pipeline parallelism: params carry stacked __stack__.* block
+            # leaves (parallel/pipeline.py); the block stack streams
+            # GPipe-style over the mesh's pp axis
+            from ..parallel import pipeline as pl_mod
+            stacked, rest = pl_mod.split_stacked(params)
+            pred = pl_mod.pp_dit_forward(
+                stacked, rest, x_in.astype(compute_dtype),
+                timesteps / 1000.0, prompt_emb.astype(compute_dtype),
+                cfg=cfg, mesh=pp_cfg.mesh,
+                microbatches=pp_cfg.microbatches, t5_ids=t5_ids,
+                attn_impl=attn_impl, compute_dtype=compute_dtype,
+                remat=remat)
+        else:
+            pred = dit_mod.dit_forward(
+                params, x_in.astype(compute_dtype), timesteps / 1000.0,
+                prompt_emb.astype(compute_dtype), cfg=cfg, t5_ids=t5_ids,
+                attn_impl=attn_impl, compute_dtype=compute_dtype,
+                remat=remat)
         pred = pred if video else pred[:, 0]
         weights = loss_weights[jnp.clip(tickets, 0, loss_weights.shape[0] - 1)]
         loss = anima_objectives.weighted_flowmatch_mse(
@@ -86,7 +102,7 @@ def _make_anima_loss_fn(cfg: dit_mod.AnimaDiTConfig, *, compute_dtype,
 def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
                           compute_dtype, attn_impl, remat,
                           spatial_strength: float = 0.0,
-                          accum_dtype=jnp.float32):
+                          accum_dtype=jnp.float32, pp_cfg=None):
     """``spatial_strength`` > 0 enables the line-art-masked loss: the
     ``spatial_mask`` micro-step input then boosts per-pixel error by
     ``1 + mask * strength`` (repair trainer, reference
@@ -94,7 +110,8 @@ def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
     inv_ga = 1.0 / float(grad_accum_steps)
     loss_fn = _make_anima_loss_fn(cfg, compute_dtype=compute_dtype,
                                   attn_impl=attn_impl, remat=remat,
-                                  spatial_strength=spatial_strength)
+                                  spatial_strength=spatial_strength,
+                                  pp_cfg=pp_cfg)
     acc_dt = jnp.dtype(accum_dtype)
 
     def micro_step(trainable, frozen, grad_accum, latents, prompt_emb, t5_ids,
@@ -291,16 +308,50 @@ def run_anima_training(config, *, post_step_hook=None,
                                  base_impl=base_attn_impl)
         print(f"INFO: Sequence parallelism: DiT self-attention tokens shard "
               f"over sp={layout.sp} (ring flash attention, KV over ICI).")
+    # pipeline parallelism (PIPELINE_PARALLEL_SIZE > 1): block params
+    # stage-stack into __stack__ leaves sharded over the pp mesh axis;
+    # microbatches stream GPipe-style (parallel/pipeline.py)
+    pp_cfg_obj = None
+    pp_mesh = None
+    if layout.use_mesh and layout.pp > 1:
+        from ..parallel import pipeline as pl_mod
+        if dit_cfg.num_blocks % layout.pp:
+            raise SystemExit(
+                f"PIPELINE_PARALLEL_SIZE={layout.pp} does not divide "
+                f"num_blocks={dit_cfg.num_blocks}")
+        pp_mesh = shard.make_mesh(layout.devices, dp=layout.dp,
+                                  pp=layout.pp)
+        micro_m = int(getattr(config, "ANIMA_PIPELINE_MICROBATCHES", 0)
+                      or 0) or int(config.BATCH_SIZE)
+        if int(config.BATCH_SIZE) % micro_m:
+            raise SystemExit(
+                f"ANIMA_PIPELINE_MICROBATCHES={micro_m} does not divide "
+                f"BATCH_SIZE={config.BATCH_SIZE}")
+        pp_cfg_obj = pl_mod.PPConfig(pp_mesh, micro_m)
+        trainable = pl_mod.stackify_params(trainable, dit_cfg.num_blocks)
+        frozen = pl_mod.stackify_params(frozen, dit_cfg.num_blocks)
+        print(f"INFO: Pipeline parallelism: {dit_cfg.num_blocks} DiT blocks "
+              f"in {layout.pp} GPipe stages x {micro_m} microbatch(es) "
+              f"per dp shard (dp={layout.dp}).")
     micro = make_anima_micro_step(
         dit_cfg, grad_accum_steps=config.GRADIENT_ACCUMULATION_STEPS,
         compute_dtype=config.compute_dtype, attn_impl=attn_impl, remat=remat,
         spatial_strength=(lineart_strength if lineart_enabled else 0.0),
-        accum_dtype=(plan.accum_dtype or jnp.float32))
+        accum_dtype=(plan.accum_dtype or jnp.float32), pp_cfg=pp_cfg_obj)
     fused = (make_anima_fused_step(
         dit_cfg, opt_cfg, clip_grad_norm=clip,
         compute_dtype=config.compute_dtype, attn_impl=attn_impl, remat=remat,
         spatial_strength=(lineart_strength if lineart_enabled else 0.0))
-        if plan.fused_apply else None)
+        if plan.fused_apply and pp_cfg_obj is None else None)
+
+    def _flat_view():
+        """Checkpoint/preview view: stacked block leaves back to the
+        reference's flat names (no-op without pipeline parallelism)."""
+        merged = {**frozen, **trainable}
+        if pp_cfg_obj is None:
+            return merged
+        from ..parallel import pipeline as pl_mod
+        return pl_mod.unstackify_params(merged, dit_cfg.num_blocks)
 
     def apply_(trainable, grad_accum, opt_state, lr):
         clipped, raw_norm = adamw.clip_by_global_norm(grad_accum, clip)
@@ -315,15 +366,35 @@ def run_anima_training(config, *, post_step_hook=None,
         return new_params, new_state, raw_norm, jnp.sqrt(delta_sq)
 
     opt_state = adamw.init_state(trainable, opt_cfg)
+    if resume_opt_state is not None and pp_cfg_obj is not None \
+            and set(resume_opt_state.exp_avg) != set(trainable):
+        # resume state saved by a non-pipeline run: restack the moment
+        # dicts into the __stack__ namespace (plain-array moments only;
+        # int8 (codes, scales) tuples cannot be jnp.stack'ed)
+        from ..parallel import pipeline as pl_mod
+        try:
+            resume_opt_state = type(resume_opt_state)(*(
+                pl_mod.stackify_params(f, dit_cfg.num_blocks)
+                if isinstance(f, dict) else f
+                for f in resume_opt_state))
+            print("INFO: Restacked resumed optimizer state for pipeline "
+                  "parallelism.")
+        except Exception as e:  # noqa: BLE001 — fall through to fresh state
+            print(f"WARNING: could not restack resumed optimizer state for "
+                  f"pipeline parallelism ({e}); starting with fresh moments.")
     if resume_opt_state is not None and set(resume_opt_state.exp_avg) == set(trainable):
         opt_state = resume_opt_state
         print("INFO: Restored optimizer state from resume checkpoint.")
+    elif resume_opt_state is not None:
+        print("WARNING: resumed optimizer state keys do not match the "
+              "trainable set; starting with fresh moments.")
 
     # mesh: dp batch sharding + FSDP/ZeRO params and optimizer state
     use_mesh = layout.use_mesh
     mesh_shardings = None
     if use_mesh:
         mesh = (sp_mesh if sp_mesh is not None else
+                pp_mesh if pp_mesh is not None else
                 shard.make_mesh(layout.devices, dp=layout.dp, tp=layout.tp))
         mesh_shardings = {
             "trainable": shard.params_shardings(trainable, mesh),
@@ -441,7 +512,7 @@ def run_anima_training(config, *, post_step_hook=None,
 
     def save_checkpoint(step):
         stem = output_model_stem(config, config.DIT_PATH)
-        torch_state = dit_mod.params_to_torch_state({**frozen, **trainable})
+        torch_state = dit_mod.params_to_torch_state(_flat_view())
         torch_state = {k: np.asarray(v) for k, v in torch_state.items()}
         save_dit_model(output_dir / f"{stem}_step_{step}.safetensors",
                        torch_state, prefix=save_prefix,
@@ -544,7 +615,7 @@ def run_anima_training(config, *, post_step_hook=None,
                 reporter.log_message(
                     f"\n--- {reason} at optimizer step {optimizer_step} ---")
                 save_checkpoint(optimizer_step)
-            preview.maybe_render(optimizer_step, {**frozen, **trainable},
+            preview.maybe_render(optimizer_step, _flat_view(),
                                  output_dir)
 
         now = time.time()
@@ -561,7 +632,7 @@ def run_anima_training(config, *, post_step_hook=None,
     reporter.shutdown()
     stem = output_model_stem(config, config.DIT_PATH)
     torch_state = {k: np.asarray(v) for k, v in
-                   dit_mod.params_to_torch_state({**frozen, **trainable}).items()}
+                   dit_mod.params_to_torch_state(_flat_view()).items()}
     save_dit_model(output_dir / f"{stem}.safetensors", torch_state,
                    prefix=save_prefix, dtype=config.compute_dtype)
     print("All tasks complete. Final model saved.")

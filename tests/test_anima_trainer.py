@@ -242,3 +242,46 @@ def test_anima_sp8_matches_single_device_numerics(tmp_path, monkeypatch,
             np.asarray(state_sp[k], np.float32),
             np.asarray(state_1[k], np.float32),
             rtol=2e-2, atol=2e-3, err_msg=k)
+
+
+def test_anima_pp2_matches_single_device_numerics(tmp_path, monkeypatch,
+                                                  capsys):
+    """PIPELINE_PARALLEL_SIZE=2 (blocks stage-stacked over the pp mesh
+    axis, GPipe microbatch schedule) must reproduce the single-device
+    run: same losses, same saved weights — and the saved checkpoint must
+    carry the reference's flat block names (stacking is run-internal)."""
+    from unittest import mock
+
+    def run(subdir, devices_env, pp):
+        root = tmp_path / subdir
+        root.mkdir()
+        if devices_env:
+            monkeypatch.setenv("AOZORA_DEVICES", devices_env)
+        else:
+            monkeypatch.delenv("AOZORA_DEVICES", raising=False)
+        config, _ = _build_anima_env(
+            root, PIPELINE_PARALLEL_SIZE=pp, MAX_TRAIN_STEPS=2,
+            SAVE_EVERY_N_STEPS=0)
+        with mock.patch(
+                "aozora_sdxl_training_tpu.train.anima_trainer."
+                "check_if_anima_caching_needed", return_value=False):
+            run_anima_training(config)
+        out = capsys.readouterr().out
+        losses = [float(m) for m in
+                  __import__("re").findall(r"Loss: ([\d.]+)", out)]
+        state, _ = load_dit_state(root / "out" / "anima_run.safetensors")
+        return losses, state, out
+
+    # 2 devices -> dp=1 x pp=2, so the global batch (= BATCH_SIZE x dp)
+    # matches the single-device run exactly
+    losses_pp, state_pp, out_pp = run("pp2", devices_env="2", pp=2)
+    assert "Pipeline parallelism: 2 DiT blocks in 2 GPipe stages" in out_pp
+    losses_1, state_1, _ = run("one", devices_env="1", pp=1)
+    assert losses_pp and len(losses_pp) == len(losses_1)
+    np.testing.assert_allclose(losses_pp, losses_1, rtol=2e-3)
+    assert not any(k.startswith("__stack__") for k in state_pp)
+    for k in state_1:
+        np.testing.assert_allclose(
+            np.asarray(state_pp[k], np.float32),
+            np.asarray(state_1[k], np.float32),
+            rtol=2e-2, atol=2e-3, err_msg=k)

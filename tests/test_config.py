@@ -18,10 +18,11 @@ def test_flat_defaults_complete():
     assert flat["TIMESTEP_ALLOCATION"] == {"bin_size": 100, "counts": []}
     assert flat["MAX_BUCKET_RESOLUTION"] == 1024
     # 79 reference keys + TPU extensions: TENSOR_PARALLEL_SIZE,
-    # SEQUENCE_PARALLEL_SIZE, ANIMA_VIDEO_FRAMES, and the three repair
+    # SEQUENCE_PARALLEL_SIZE, PIPELINE_PARALLEL_SIZE + its microbatch
+    # count, ANIMA_VIDEO_FRAMES, and the three repair
     # keys (module constants in the reference,
     # train_anima_repair.py:97-98, 1474-1484)
-    assert len(schema.FLAT_KEYS) == 90
+    assert len(schema.FLAT_KEYS) == 92
 
 
 def test_defaults_are_deep_copied():
