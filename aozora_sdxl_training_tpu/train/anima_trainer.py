@@ -471,6 +471,11 @@ def run_anima_training(config, *, post_step_hook=None,
     qat_residuals = None
     project_fn = None
     if device_projector is not None:
+        if pp_cfg_obj is not None:
+            # the projector's format map is keyed by flat tensor names;
+            # with stacked __stack__ leaves it would silently no-op
+            raise SystemExit("PIPELINE_PARALLEL_SIZE is not supported by "
+                             "the QAT repair trainer (flat-name projector)")
         init_residuals, project = device_projector
         qat_residuals = init_residuals(trainable)
         project_fn = jax.jit(project, donate_argnums=(0, 1))
