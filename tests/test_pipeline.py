@@ -111,3 +111,42 @@ def test_pp_grads_match_sequential():
         np.testing.assert_allclose(np.asarray(g_rest[k]),
                                    np.asarray(g_seq_rest[k]),
                                    rtol=5e-4, atol=1e-5, err_msg=k)
+
+
+class _Cfg:
+    BATCH_SIZE = 2
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+@requires_8
+def test_resolve_mesh_layout_pp(monkeypatch):
+    from aozora_sdxl_training_tpu.parallel import sharding as shard
+    monkeypatch.delenv("AOZORA_DEVICES", raising=False)
+    lay = shard.resolve_mesh_layout(_Cfg(PIPELINE_PARALLEL_SIZE=4))
+    assert (lay.dp, lay.pp, lay.tp, lay.sp) == (2, 4, 1, 1)
+    assert lay.global_batch == 2 * 2  # BATCH_SIZE x dp
+    # pp is exclusive with tp/sp: both fall back
+    lay = shard.resolve_mesh_layout(_Cfg(PIPELINE_PARALLEL_SIZE=2,
+                                         TENSOR_PARALLEL_SIZE=2))
+    assert (lay.tp, lay.pp) == (1, 2)
+    # non-divisible pp falls back to 1
+    lay = shard.resolve_mesh_layout(_Cfg(PIPELINE_PARALLEL_SIZE=3))
+    assert lay.pp == 1
+    mesh = shard.make_mesh(jax.devices(), dp=2, pp=4)
+    assert mesh.axis_names == ("dp", "pp")
+
+
+def test_stackify_refuses_non_uniform_blocks():
+    from aozora_sdxl_training_tpu.parallel import pipeline as pl2
+    params = {"blocks.0.w": jnp.ones((2, 2)), "blocks.1.w": jnp.ones((2, 2)),
+              "blocks.0.only_here": jnp.ones((2,)), "other": jnp.ones((3,))}
+    with pytest.raises(ValueError, match="block-uniform"):
+        pl2.stackify_params(params, 2)
+    del params["blocks.0.only_here"]
+    out = pl2.stackify_params(params, 2)
+    assert set(out) == {"__stack__.w", "other"}
+    back = pl2.unstackify_params(out, 2)
+    assert set(back) == set(params)
