@@ -150,3 +150,30 @@ def test_stackify_refuses_non_uniform_blocks():
     assert set(out) == {"__stack__.w", "other"}
     back = pl2.unstackify_params(out, 2)
     assert set(back) == set(params)
+
+
+@requires_8
+def test_pp_forward_video_mode():
+    """T=2 latent frames through the pipeline (5-D activations hop the
+    stage ring unchanged)."""
+    cfg = CFG4
+    params = dit.init_params(cfg, jax.random.PRNGKey(1))
+    k = jax.random.PRNGKey(9)
+    b = 4
+    lat = jax.random.normal(k, (b, 2, 6, 6, cfg.in_channels), jnp.float32)
+    ctx = jax.random.normal(jax.random.fold_in(k, 1),
+                            (b, 8, cfg.adapter_source_dim), jnp.float32)
+    t5 = jnp.tile(jnp.arange(1, 9, dtype=jnp.int32)[None], (b, 1))
+    ts = jnp.linspace(100.0, 900.0, b)
+    seq = dit.dit_forward(params, lat, ts, ctx, cfg=cfg, t5_ids=t5,
+                          compute_dtype=jnp.float32, remat=False)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("dp", "pp"))
+    stacked, rest = pl.split_block_params(params, cfg.num_blocks)
+    stacked_s, rest_s, (lat_s, ts_s, ctx_s, t5_s) = _put(
+        mesh, stacked, rest, [lat, ts, ctx, t5])
+    out = jax.jit(lambda s, r, a, b_, c, d: pl.pp_dit_forward(
+        s, r, a, b_, c, cfg=cfg, mesh=mesh, microbatches=2,
+        t5_ids=d, compute_dtype=jnp.float32, remat=False))(
+            stacked_s, rest_s, lat_s, ts_s, ctx_s, t5_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq),
+                               rtol=1e-4, atol=1e-4)
