@@ -285,3 +285,43 @@ def test_anima_pp2_matches_single_device_numerics(tmp_path, monkeypatch,
             np.asarray(state_pp[k], np.float32),
             np.asarray(state_1[k], np.float32),
             rtol=2e-2, atol=2e-3, err_msg=k)
+
+
+def test_pp_resume_restacks_optimizer_state(tmp_path, monkeypatch, capsys):
+    """Resuming a NON-pipeline run under PIPELINE_PARALLEL_SIZE>1 must
+    restack the flat-named moment dicts into the __stack__ namespace and
+    restore them (not silently start fresh)."""
+    from unittest import mock
+
+    root = tmp_path / "base"
+    root.mkdir()
+    monkeypatch.setenv("AOZORA_DEVICES", "1")
+    config, _ = _build_anima_env(root, MAX_TRAIN_STEPS=2,
+                                 SAVE_EVERY_N_STEPS=2)
+    with mock.patch(
+            "aozora_sdxl_training_tpu.train.anima_trainer."
+            "check_if_anima_caching_needed", return_value=False):
+        run_anima_training(config)
+    capsys.readouterr()
+    out = root / "out"
+    model = out / "anima_run_step_2.safetensors"
+    state = out / "anima_run_training_state_step_2.safetensors"
+    assert model.exists() and state.exists()
+
+    monkeypatch.setenv("AOZORA_DEVICES", "2")
+    root2 = tmp_path / "resume"
+    root2.mkdir()
+    config2, _ = _build_anima_env(
+        root2, MAX_TRAIN_STEPS=4, SAVE_EVERY_N_STEPS=0,
+        PIPELINE_PARALLEL_SIZE=2, RESUME_TRAINING=True,
+        ANIMA_RESUME_MODEL_PATH=str(model),
+        ANIMA_RESUME_STATE_PATH=str(state),
+        OUTPUT_NAME="anima_resume")
+    with mock.patch(
+            "aozora_sdxl_training_tpu.train.anima_trainer."
+            "check_if_anima_caching_needed", return_value=False):
+        run_anima_training(config2)
+    outtxt = capsys.readouterr().out
+    assert "Restacked resumed optimizer state" in outtxt
+    assert "Restored optimizer state" in outtxt
+    assert (root2 / "out" / "anima_resume.safetensors").exists()
