@@ -106,7 +106,11 @@ def pipeline_blocks(stacked: dict, x: jax.Array, emb: jax.Array,
             e = jax.lax.dynamic_index_in_dim(es, mc, keepdims=False)
             c = jax.lax.dynamic_index_in_dim(cs, mc, keepdims=False)
             lo = jax.lax.dynamic_index_in_dim(ls, mc, keepdims=False)
-            y = stage(x_in, e, c, lo)
+            # bubble ticks (pipeline fill/drain) skip the stage compute
+            # entirely — with M microbatches the naive schedule wastes
+            # (pp-1)/(M+pp-1) of each rank's FLOPs on garbage
+            y = jax.lax.cond(active, lambda op: stage(*op),
+                             lambda op: op[0], (x_in, e, c, lo))
             # last rank stores finished microbatches
             prev = jax.lax.dynamic_index_in_dim(outs, mc, keepdims=False)
             write = jnp.where(active & (r == pp - 1), y, prev)
