@@ -16,7 +16,7 @@ import statistics
 import sys
 
 STEP_RE = re.compile(r"\[(\d+(?:\.\d+)?)s/step")
-LOSS_RE = re.compile(r"\[Loss: ([\d.]+), Timestep: (\d+)\]")
+LOSS_RE = re.compile(r"\[Loss: ([\d.]+), (?:Timestep|Ticket)")
 OPTIM_RE = re.compile(r"--- Optimizer Step:\s*(\d+)\s*\|")
 PLAN_RE = re.compile(r"INFO:   (master weights|grad accumulation|moments|"
                      r"attention): (.*)")
