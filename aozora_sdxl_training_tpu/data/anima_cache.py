@@ -400,7 +400,15 @@ def precompute_and_cache_anima(config, encoders: AnimaCacheEncoders | None = Non
                 files.append(item)
         cs.save_index(cache_dir, {"version": ANIMA_CACHE_VERSION,
                                   "cache_options": options, "files": files})
-        print(f"INFO: Cached {len(files)} Anima DiT items to {cache_dir}")
+        print(cache_complete_message(len(files), cache_dir))
+
+
+def cache_complete_message(n_files: int, cache_dir) -> str:
+    """The cache-completion line (reference train_anima.py:1143).  The
+    reference GUI keys its cacheCreatedSignal on the lowercase substring
+    "anima dit items" (/root/reference/gui/gui.py:2736), so the wording is
+    part of the wire format."""
+    return f"INFO: Cached {n_files} Anima DiT items to {cache_dir}"
 
 
 def _lineart_mask_for(pixels_hwc: "np.ndarray", lat_h: int,

@@ -300,6 +300,7 @@ def unet_forward(params: Params,
                  attn_impl: str = "xla",
                  compute_dtype=jnp.bfloat16,
                  remat: bool = False,
+                 remat_thresholds: tuple | None = None,
                  fused_gn: bool = False) -> jax.Array:
     """SDXL UNet forward.
 
@@ -344,10 +345,25 @@ def unet_forward(params: Params,
     import os
     hires_tokens = int(os.environ.get("AOZORA_REMAT_HIRES_TOKENS",
                                       str(4160)))
+    # Third tier (r4, VERDICT r3 #5): units at or above ``full_tokens``
+    # get FULL remat (save nothing).  At big buckets (1536px: 36864-token
+    # top level) the dot saves of the highest-resolution resnets are what
+    # pushed the hires policy 132 MB past the 16 GB budget; recomputing
+    # just that level is a ~1 GB saving for a small recompute (level-0 has
+    # no attention, only cheap wide convs).  ``remat_thresholds`` is set by
+    # the memory planner; the env vars remain dev/probe overrides.
+    full_env = os.environ.get("AOZORA_REMAT_FULL_TOKENS", "").strip()
+    full_tokens = int(full_env) if full_env else None
+    if remat_thresholds is not None:
+        hires_tokens, full_tokens = remat_thresholds
 
     def unit_remat(h):
-        if hires_only and h.shape[1] * h.shape[2] < hires_tokens:
-            return False
+        tokens = h.shape[1] * h.shape[2]
+        if hires_only:
+            if full_tokens is not None and tokens >= int(full_tokens):
+                return True
+            if tokens < hires_tokens:
+                return False
         return base_remat
 
     def res_fn(p, prefix, h, t):

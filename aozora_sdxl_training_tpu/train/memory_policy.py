@@ -58,22 +58,34 @@ _ACT_BYTES_PER_LATPIX = {
     ("xla", "dots"): 0.70 * MB,
     ("flash", True): 0.05 * MB,
     ("xla", True): 0.05 * MB,
+    # 3-tier (r4): top level FULL remat, mid levels dots_no_logits, small
+    # levels resident.  The 1536px evidence: plain hires measured ~0.293
+    # MB/latpix (OOM by 132 MB on v5e-1 micro-step); full-rematting the
+    # 320-wide no-attention top level drops its dot saves (~0.03
+    # MB/latpix) for a cheap conv recompute.
+    ("flash", "dots_no_logits_hires", "fulltop"): 0.27 * MB,
+    ("xla", "dots_no_logits_hires", "fulltop"): 0.30 * MB,
 }
 
-# Speed ladders: fastest-first (attn, remat) pairs, from the r2-measured
-# e2e table.  The flash kernel only wins where its level is NOT remated,
-# so flash is never paired with plain dots policies.
+# Speed ladders: fastest-first (attn, remat[, tier]) entries, from the
+# r2-measured e2e table.  The flash kernel only wins where its level is
+# NOT remated, so flash is never paired with plain dots policies.  The
+# "fulltop" tier sits between plain hires and dots_no_logits: same policy
+# with the top (no-attention) level fully rematerialized — chosen at big
+# buckets where plain hires misses the budget by a few hundred MB.
 _LADDER_FLASH = [
-    ("flash", False),
-    ("flash", "dots_no_logits_hires"),
-    ("xla", "dots_no_logits"),
-    ("flash", True),
+    ("flash", False, None),
+    ("flash", "dots_no_logits_hires", None),
+    ("flash", "dots_no_logits_hires", "fulltop"),
+    ("xla", "dots_no_logits", None),
+    ("flash", True, None),
 ]
 _LADDER_XLA = [
-    ("xla", False),
-    ("xla", "dots_no_logits_hires"),
-    ("xla", "dots_no_logits"),
-    ("xla", True),
+    ("xla", False, None),
+    ("xla", "dots_no_logits_hires", None),
+    ("xla", "dots_no_logits_hires", "fulltop"),
+    ("xla", "dots_no_logits", None),
+    ("xla", True, None),
 ]
 
 # Reserved headroom: XLA workspace, batch buffers (double-buffered
@@ -98,6 +110,9 @@ class MemoryPlan:
     reason: str                # human-readable selection trace
     moments_host: bool = False  # optimizer moments parked in pinned_host
     two_pass: bool = False      # norm pass + recompute-update pass (GA=1)
+    # (hires_tokens, full_tokens) for "*_hires" remat modes; None keeps the
+    # model's env-tunable defaults (no full-remat tier)
+    remat_thresholds: tuple | None = None
 
     @property
     def low_memory(self) -> bool:
@@ -184,8 +199,9 @@ def state_bytes(trainable_elems: int, frozen_elems: int, *,
 
 
 def activation_bytes(attn_impl: str, remat, batch: int,
-                     latent_pixels: int) -> int:
-    coeff = _ACT_BYTES_PER_LATPIX.get((attn_impl, remat))
+                     latent_pixels: int, tier: str | None = None) -> int:
+    key = (attn_impl, remat, tier) if tier else (attn_impl, remat)
+    coeff = _ACT_BYTES_PER_LATPIX.get(key)
     if coeff is None:  # unknown combo: assume the worst measured
         coeff = 0.9 * MB
     return int(coeff * batch * latent_pixels)
@@ -339,8 +355,14 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
                                          requested_moment_dtype,
                                          allow_moments_host=(dp_shard == 1))
     ladder = _ladder_for(attn_pref)
+    # The "fulltop" tier exists for buckets beyond 1024px (where plain
+    # hires misses the budget by a few hundred MB).  At <=1024px the
+    # r2/r3-measured ladder is ground truth — keep those selections
+    # byte-identical rather than trusting a borderline estimate.
+    if max_latent_pixels <= 128 * 128:
+        ladder = [e for e in ladder if e[2] != "fulltop"]
     if remat_override is not None:
-        ladder = [(attn_pref, remat_override)]
+        ladder = [(attn_pref, remat_override, None)]
 
     best_fallback = None  # smallest-estimate candidate, if nothing fits
     for master, accum_dtype, fused, moment, host, two_pass in state_candidates:
@@ -350,9 +372,14 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
                          accum_dtype=accum_dtype, moment_dtype=moment,
                          dp_shard=dp_shard, moments_host=host, fused=fused,
                          two_pass=two_pass)
-        for attn_impl, remat in ladder:
+        for attn_impl, remat, tier in ladder:
             act = activation_bytes(attn_impl, remat, batch_per_device,
-                                   max_latent_pixels)
+                                   max_latent_pixels, tier)
+            # "fulltop": full-remat exactly the top (largest-token) level;
+            # a unit is top-level iff its token count equals the bucket's
+            # latent-pixel count
+            thresholds = ((4160, int(max_latent_pixels)) if tier == "fulltop"
+                          else None)
             est = st["peak_state"] + act + _RESERVE_BYTES
             fits = budget_bytes is None or est <= budget_bytes
             trace.append(
@@ -361,7 +388,7 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
                 f"{moment if isinstance(moment, str) else jnp.dtype(moment).name}-moments"
                 f"{'@host' if host else ''}"
                 f"{'/two-pass' if two_pass else ''}"
-                f" + {attn_impl}/remat={remat}: "
+                f" + {attn_impl}/remat={remat}{f'[{tier}]' if tier else ''}: "
                 f"state {st['peak_state'] / GB:.2f} + act {act / GB:.2f} "
                 f"+ reserve {_RESERVE_BYTES / GB:.2f} = {est / GB:.2f} GB "
                 f"{'<= ' if fits else '> '}"
@@ -373,7 +400,7 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
                 moment_dtype=moment, attn_impl=attn_impl, remat=remat,
                 est_bytes=int(est), budget_bytes=int(budget_bytes or 0),
                 reason="\n".join(trace), moments_host=host,
-                two_pass=two_pass)
+                two_pass=two_pass, remat_thresholds=thresholds)
             if fits:
                 return plan
             if best_fallback is None or est < best_fallback.est_bytes:
@@ -418,7 +445,10 @@ def describe_plan(plan: MemoryPlan, *, verbose: bool = False) -> str:
            "update like the reference's Raven/Titan CPU offload, but the "
            "math stays a fused on-device XLA kernel]"
            if plan.moments_host else ""),
-        f"INFO:   attention: {plan.attn_impl}, remat: {plan.remat}",
+        f"INFO:   attention: {plan.attn_impl}, remat: {plan.remat}"
+        + (f" (resident < {plan.remat_thresholds[0]} tokens, FULL remat >= "
+           f"{plan.remat_thresholds[1]} tokens)"
+           if plan.remat_thresholds else ""),
     ]
     if verbose:
         lines.append(plan.reason)

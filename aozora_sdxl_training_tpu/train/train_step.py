@@ -55,6 +55,9 @@ class TrainStepConfig:
     attn_impl: str = "xla"
     compute_dtype: Any = jnp.bfloat16
     remat: bool = True
+    # (hires_tokens, full_tokens) 3-tier remat thresholds for "*_hires"
+    # modes, chosen by the memory planner; None keeps the env defaults
+    remat_thresholds: Any = None
     # grad-accum tree storage (memory_policy may pick bf16 in low-memory
     # single-chip mode; the per-micro-step contribution is still computed
     # in the gradient dtype and divided by GA before the cast)
@@ -75,7 +78,8 @@ def make_loss_fn(cfg: TrainStepConfig):
         pred = unet_forward(
             params, noisy.astype(cfg.compute_dtype), t_cond, embeds, pooled,
             time_ids, cfg=cfg.unet, attn_impl=cfg.attn_impl,
-            compute_dtype=cfg.compute_dtype, remat=cfg.remat)
+            compute_dtype=cfg.compute_dtype, remat=cfg.remat,
+            remat_thresholds=cfg.remat_thresholds)
         loss = objectives.weighted_mse_loss(pred, target, timesteps,
                                             loss_weights, sample_mask)
         return loss, sigma

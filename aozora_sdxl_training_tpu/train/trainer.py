@@ -139,6 +139,12 @@ def print_optimizer_summary(config, opt_cfg: adamw.AdamWConfig, trainable,
               f"({n_exempt} small tensor(s) keep fp32 state)")
     print("  - Update math:         fused FP32 XLA kernel (no host offload)")
     print("=" * 58 + "\n")
+    # The reference GUI strips this prefix and forwards the payload to its
+    # paramInfoSignal (/root/reference/gui/gui.py:2727-2728); keep the
+    # channel alive so that readout works when the PyQt GUI drives us.
+    print(f"GUI_PARAM_INFO::Trainable: {n_elements:,} elements in "
+          f"{n_tensors:,} tensors | Optimizer: {names.get(key, key)} | "
+          f"LR: {initial_lr:.8g}", flush=True)
 
 
 def print_dataset_resolution_sample(dataset, sample_count: int = 5) -> None:
@@ -329,6 +335,7 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
         attn_impl=plan.attn_impl,
         compute_dtype=config.compute_dtype,
         remat=plan.remat,
+        remat_thresholds=plan.remat_thresholds,
         accum_dtype=(plan.accum_dtype or jnp.float32))
 
     from .sampler import PreviewRenderer

@@ -84,6 +84,27 @@ def test_1536px_single_chip_full_remat():
     assert p.remat is True and p.attn_impl == "flash"
 
 
+def test_1536px_dp8_selects_fulltop_tier():
+    # r4 (VERDICT r3 #5): with FSDP freeing the state, the 3-tier policy
+    # (top level FULL remat, mid dots_no_logits, small resident) fits at
+    # 1536px where plain hires misses by ~132 MB — the planner must pick
+    # it over falling all the way to full remat
+    p = plan(dp_shard=8, ga_steps=4, max_latent_pixels=LATPIX_1536)
+    assert p.remat == "dots_no_logits_hires"
+    assert p.remat_thresholds == (4160, LATPIX_1536)
+
+
+def test_fulltop_tier_never_offered_at_1024px():
+    # the <=1024px ladder is r2/r3-measured ground truth; the estimated
+    # fulltop entry must not perturb those selections (it estimated within
+    # 0.01 GB of the budget for full-SDXL two-pass — too tight to trust)
+    for kwargs in ({}, {"dp_shard": 8, "ga_steps": 4},
+                   {"trainable_elems": 120_000_000,
+                    "frozen_elems": 2_447_000_000}):
+        p = plan(**kwargs)
+        assert p.remat_thresholds is None, kwargs
+
+
 def test_remat_override_wins():
     p = plan(remat_override="dots_no_logits_hires", dp_shard=8, ga_steps=4)
     assert p.remat == "dots_no_logits_hires"

@@ -261,3 +261,63 @@ def test_hires_mixed_remat_matches_plain_gradients():
         np.testing.assert_allclose(np.asarray(g_plain[k]),
                                    np.asarray(g_mixed[k]),
                                    rtol=5e-3, atol=1e-4, err_msg=k)
+
+
+def test_three_tier_remat_structure_and_gradients():
+    """r4 3-tier policy: units >= full_tokens get FULL remat (policy None),
+    units < hires_tokens stay resident, the middle keeps the dot policy —
+    and the whole thing is numerics-neutral."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = arch.TINY
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    latents = jax.random.normal(key, (1, 40, 40, 4), jnp.float32)
+    embeds = jax.random.normal(jax.random.fold_in(key, 1),
+                               (1, 7, cfg.cross_attention_dim), jnp.float32)
+    pooled = jax.random.normal(jax.random.fold_in(key, 2),
+                               (1, cfg.pooled_projection_dim), jnp.float32)
+    time_ids = jnp.ones((1, 6), jnp.float32)
+
+    def fwd(thresholds):
+        def f(p):
+            return unet_forward(p, latents, jnp.asarray([3.0]), embeds,
+                                pooled, time_ids, cfg=cfg, attn_impl="xla",
+                                compute_dtype=jnp.float32,
+                                remat="dots_no_logits_hires",
+                                remat_thresholds=thresholds)
+        return f
+
+    def remat_policies(thresholds):
+        jaxpr = jax.make_jaxpr(fwd(thresholds))(params)
+        return [eqn.params.get("policy")
+                for eqn in jaxpr.eqns if "remat" in eqn.primitive.name]
+
+    # everything resident: no remat equations at all
+    assert remat_policies((10**9, 10**9)) == []
+    # everything under the dot policy: all policies non-None
+    all_dots = remat_policies((1, 10**9))
+    assert all_dots and all(p is not None for p in all_dots)
+    # top level (40x40 = 1600 tokens) FULL remat, deeper levels dot policy
+    mixed = remat_policies((1, 1600))
+    assert len(mixed) == len(all_dots)
+    n_full = sum(1 for p in mixed if p is None)
+    assert 0 < n_full < len(mixed)
+
+    # numerics-neutral vs no remat
+    def loss(p, mode, thr=None):
+        out = unet_forward(p, latents, jnp.asarray([3.0]), embeds,
+                           pooled, time_ids, cfg=cfg, attn_impl="xla",
+                           compute_dtype=jnp.float32, remat=mode,
+                           remat_thresholds=thr)
+        return jnp.sum(out ** 2)
+
+    g_plain = jax.grad(lambda p: loss(p, False))(params)
+    g_tiered = jax.grad(lambda p: loss(p, "dots_no_logits_hires",
+                                       (4, 1600)))(params)
+    for k in ("conv_in.weight", "mid_block.resnets.0.conv1.weight",
+              "up_blocks.1.attentions.0.proj_out.weight"):
+        np.testing.assert_allclose(np.asarray(g_plain[k]),
+                                   np.asarray(g_tiered[k]),
+                                   rtol=5e-3, atol=1e-4, err_msg=k)

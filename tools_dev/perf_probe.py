@@ -23,6 +23,8 @@ fused_gn = bool(int(args.get("fused_gn", 0)))
 import os
 if "hires" in args:
     os.environ["AOZORA_REMAT_HIRES_TOKENS"] = str(int(args["hires"]))
+if "full_tokens" in args:  # 3-tier remat: FULL remat at/above this count
+    os.environ["AOZORA_REMAT_FULL_TOKENS"] = str(int(args["full_tokens"]))
 if "min_kv" in args:
     os.environ["AOZORA_FLASH_MIN_KV"] = str(int(args["min_kv"]))
 
