@@ -106,10 +106,17 @@ def mine_collectives(hlo_text: str) -> dict:
         else:  # collective-permute
             cost = float(size)
         d = by_kind.setdefault(kind, {"count": 0, "payload_bytes": 0,
-                                      "ici_cost_bytes": 0.0})
+                                      "ici_cost_bytes": 0.0, "by_dtype": {}})
         d["count"] += 1
         d["payload_bytes"] += size
         d["ici_cost_bytes"] += cost
+        for dt, dims in _SHAPE_RE.findall(m.group(1)):
+            if dt in DTYPE_BYTES:
+                n = 1
+                for x in dims.split(","):
+                    if x:
+                        n *= int(x)
+                d["by_dtype"][dt] = d["by_dtype"].get(dt, 0) + n * DTYPE_BYTES[dt]
         ici_bytes += cost
     return {"by_kind": by_kind, "ici_cost_bytes_per_chip": int(ici_bytes),
             "ici_time_ms": round(ici_bytes / ICI_BW_BYTES * 1e3, 3)}
