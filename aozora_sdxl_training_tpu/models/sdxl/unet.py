@@ -44,7 +44,11 @@ def _w(params: Params, name: str, dtype) -> jax.Array:
 
 def _conv_bwd_mode() -> str:
     import os
-    return os.environ.get("AOZORA_CONV_BWD", "xla").lower()
+    # Default gemm2 since r4: the leave-one-out sweep attributed ~7.3 ms of
+    # the combo win (0.2415 -> 0.2488 s/img when removed) to the
+    # GEMM-decomposed conv backward.  AOZORA_CONV_BWD=xla restores the
+    # window-dilated XLA transpose-conv gradients.
+    return os.environ.get("AOZORA_CONV_BWD", "gemm2").lower()
 
 
 def conv2d(params: Params, name: str, x: jax.Array, *, stride: int = 1) -> jax.Array:

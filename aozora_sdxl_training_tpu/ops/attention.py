@@ -77,18 +77,21 @@ _attn_core_bf16_probs.defvjp(lambda q, k, v, s: _attn_core_fwd(q, k, v, s),
                              _attn_core_bwd)
 
 
-FLASH_MIN_KV = 2048
+FLASH_MIN_KV = 1024
 
 
 def _flash_min_kv() -> int:
     """Dispatch threshold: sequences with KV below this use the XLA path.
 
-    Default 2048 is the measured e2e optimum on v5e (r2 sweep, full SDXL
-    1024px micro-step under hires remat): the Pallas kernel wins decisively
-    at the 4096-token level (266.5 ms/step vs 304.9 with XLA there) but
-    LOSES in-context at the 1024-token level (282.0 ms with min_kv=256)
-    and at short-KV cross attention, where XLA's fused path is better.
-    Override via AOZORA_FLASH_MIN_KV for probes."""
+    Default 1024 since r4: the leave-one-out bench sweep showed flash at
+    the S=1024 level contributes ~8.9 ms of the combo win (0.2412 ->
+    0.2501 s/img when removed) — but ONLY in combination with the
+    GEMM-decomposed conv backward + fused QKV defaults; in the r2/r3
+    code it regressed alone (0.25144 vs 0.24837), which is why r2 pinned
+    2048.  The three rewrites overlap in the same backward fusion/HBM
+    bottleneck, so their contributions are superadditive.  min_kv below
+    1024 (e.g. 256: cross-attention KV=77/512) still loses — XLA's fused
+    path is better at short KV.  Override via AOZORA_FLASH_MIN_KV."""
     import os
     return int(os.environ.get("AOZORA_FLASH_MIN_KV", FLASH_MIN_KV))
 

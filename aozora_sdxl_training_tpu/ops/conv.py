@@ -61,7 +61,7 @@ def _fwd(x, w):
 def _bwd(res, dy):
     import os
     x, w = res
-    if os.environ.get("AOZORA_CONV_BWD", "").lower() == "gemm2":
+    if os.environ.get("AOZORA_CONV_BWD", "gemm2").lower() == "gemm2":
         # dgrad as a 9-tap GEMM too.  The r2 trace shows the XLA dgrad
         # convs at the 64x64 level running at 31 TF/s (16% of v5e peak,
         # fusion.18293 et al — the HW-flip + IO-swap of the 14.7 MB kernel

@@ -11,8 +11,10 @@ the reference's separate ``to_q/to_k/to_v`` tensors, so checkpoints,
 freezing, QAT and sharding are unchanged; AD slices the fused weight
 cotangent back onto the individual tensors.
 
-Enabled with ``AOZORA_FUSED_QKV=1`` (read at trace time; e2e timing
-decides the default, per the r2 measurement rule).
+Default ON since r4: the leave-one-out bench sweep attributed ~3.7 ms of
+the combo win (0.2415 -> 0.2451 s/img when removed) to this rewrite.
+``AOZORA_FUSED_QKV=0`` restores the three separate dots (read at trace
+time; e2e timing decides the default, per the r2 measurement rule).
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ import jax.numpy as jnp
 
 
 def fused_qkv_enabled() -> bool:
-    return os.environ.get("AOZORA_FUSED_QKV", "0") == "1"
+    return os.environ.get("AOZORA_FUSED_QKV", "1") == "1"
 
 
 def fused_linear(params, names, x: jax.Array) -> list[jax.Array]:

@@ -226,8 +226,14 @@ def leaf_square_sum(g: jax.Array) -> jax.Array:
     inner-product with fp32 accumulation (``preferred_element_type``) —
     on TPU a bf16 leaf then streams through the MXU without the fp32
     upcast traffic of the default astype+square+reduce fusion.  Default
-    stays the elementwise fp32 reduction (reference-parity numerics:
-    torch clip_grad_norm_ upcasts to fp32 per element).
+    stays the elementwise fp32 reduction: (a) reference-parity numerics
+    (torch clip_grad_norm_ upcasts per element), (b) the dot form's
+    value is PROGRAM-DEPENDENT at the ~1% level for bf16 leaves — XLA
+    may fuse the dot into the grad producer and elide the bf16 round in
+    a norm-only program (two-pass norm pass) while the fused step
+    materializes the rounded grads, breaking the two-pass == fused
+    numerics invariant (tests/test_memory_policy.py) — and (c) the r4
+    leave-one-out sweep attributed no repeatable e2e win to it.
     """
     import os
     if os.environ.get("AOZORA_NORM_IMPL", "") == "dot":

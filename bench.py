@@ -70,12 +70,17 @@ def main() -> None:
     batch = int(os.environ.get("AOZORA_BENCH_BATCH", "1"))
     latent_hw = 128  # 1024px
     seq = 77
-    # r2 sweep (v5e-1, 1024px b1), best measured config — 248.3 ms/step,
-    # 6.24x, 40.0% executed MFU:
+    # r4 defaults (v5e-1, 1024px b1), best measured config — ~0.2412
+    # s/img (leave-one-out-attributed combo, bench_ab_sweep):
     # * attention: Pallas flash kernel (block_q=512, block_k=1024,
-    #   dimension_semantics hints) at KV >= 2048 — the 4096-token 64x64
-    #   level — XLA's fused path below (ops/attention.FLASH_MIN_KV;
-    #   flash-everywhere and xla-everywhere both measured slower);
+    #   dimension_semantics hints) at KV >= 1024 — both the 4096-token
+    #   64x64 level AND the 1024-token 32x32 level — XLA's fused path
+    #   below (ops/attention.FLASH_MIN_KV); flash at S=1024 only wins
+    #   combined with the gemm2 conv backward + fused QKV (r4 LOO sweep);
+    # * conv backward: GEMM-decomposed dW + dx (ops/conv.py, default
+    #   gemm2) — the dgrad convs ran at 16% of peak as XLA transposed
+    #   convs;
+    # * fused q/k/v projections (ops/fused_proj.py, default on);
     # * remat: NONE.  The flash kernel saves only O(S) (out, lse)
     #   residuals instead of O(S^2) probs, which is what makes the full
     #   no-recompute backward fit in 16 GB at this shape (with XLA

@@ -123,7 +123,7 @@ def test_unet_grads_gemm2_parity(monkeypatch):
         return jnp.mean(
             unet_forward(p, *args, cfg=cfg, compute_dtype=jnp.float32) ** 2)
 
-    monkeypatch.delenv("AOZORA_CONV_BWD", raising=False)
+    monkeypatch.setenv("AOZORA_CONV_BWD", "xla")  # default is gemm2 since r4
     g_base = jax.grad(loss)(params)
     monkeypatch.setenv("AOZORA_CONV_BWD", "gemm2")
     g_gemm = jax.grad(loss)(params)

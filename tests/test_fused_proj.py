@@ -46,7 +46,7 @@ def test_unet_forward_fused_qkv_parity(monkeypatch):
         jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_projection_dim)),
         jnp.ones((1, 6)),
     )
-    monkeypatch.delenv("AOZORA_FUSED_QKV", raising=False)
+    monkeypatch.setenv("AOZORA_FUSED_QKV", "0")  # default on since r4
     base = unet_forward(params, *args, cfg=cfg, compute_dtype=jnp.float32)
     monkeypatch.setenv("AOZORA_FUSED_QKV", "1")
     fused = unet_forward(params, *args, cfg=cfg, compute_dtype=jnp.float32)
@@ -71,7 +71,7 @@ def test_unet_grads_fused_qkv_parity(monkeypatch):
         return jnp.mean(
             unet_forward(p, *args, cfg=cfg, compute_dtype=jnp.float32) ** 2)
 
-    monkeypatch.delenv("AOZORA_FUSED_QKV", raising=False)
+    monkeypatch.setenv("AOZORA_FUSED_QKV", "0")  # default on since r4
     g_base = jax.grad(loss)(params)
     monkeypatch.setenv("AOZORA_FUSED_QKV", "1")
     g_fused = jax.grad(loss)(params)
@@ -90,7 +90,7 @@ def test_dit_forward_fused_qkv_parity(monkeypatch):
     lat = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 6, 6, cfg.in_channels))
     ctx = jax.random.normal(jax.random.PRNGKey(4), (1, 8, cfg.adapter_source_dim))
     t5 = jnp.ones((1, 8), jnp.int32)
-    monkeypatch.delenv("AOZORA_FUSED_QKV", raising=False)
+    monkeypatch.setenv("AOZORA_FUSED_QKV", "0")  # default on since r4
     base = dit.dit_forward(params, lat, jnp.array([500.0]), ctx, cfg=cfg,
                            t5_ids=t5, compute_dtype=jnp.float32, remat=False)
     monkeypatch.setenv("AOZORA_FUSED_QKV", "1")
@@ -118,7 +118,7 @@ def test_fused_qkv_under_tp_mesh_parity(monkeypatch):
         jax.random.normal(jax.random.PRNGKey(3), (2, cfg.pooled_projection_dim)),
         jnp.ones((2, 6)),
     )
-    monkeypatch.delenv("AOZORA_FUSED_QKV", raising=False)
+    monkeypatch.setenv("AOZORA_FUSED_QKV", "0")  # default on since r4
     base = unet_forward(params, *args, cfg=cfg, compute_dtype=jnp.float32)
 
     monkeypatch.setenv("AOZORA_FUSED_QKV", "1")

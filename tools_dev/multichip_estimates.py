@@ -286,7 +286,10 @@ def main() -> None:
         abstract = jax.eval_shape(
             lambda k: dit_mod.init_params(cfg, k), jax.random.PRNGKey(0))
         shapes = {n: sds(v.shape, jnp.float32) for n, v in abstract.items()}
-        stacked, rest = pl.split_block_params(shapes, cfg.num_blocks)
+        # split_block_params stacks per-block leaves (jnp.stack) — run it
+        # under eval_shape so abstract avals trace instead of TypeError-ing
+        stacked, rest = jax.eval_shape(
+            lambda p: pl.split_block_params(p, cfg.num_blocks), shapes)
         P = jax.sharding.PartitionSpec
         sh_pp = jax.sharding.NamedSharding(mesh, P("pp"))
         sh_b = jax.sharding.NamedSharding(mesh, P("dp"))
@@ -314,18 +317,27 @@ def main() -> None:
 
     todo = args.get("configs", "sdxl_dp8,sdxl_dp4tp2,anima_dp8,anima_dp2sp4,"
                                "anima_dp2pp4").split(",")
-    if "sdxl_dp8" in todo:
-        sdxl_steps(8, 1, "dp8")
-    if "sdxl_dp4tp2" in todo:
-        sdxl_steps(4, 2, "dp4tp2")
-    if "anima_dp8" in todo:
-        anima_micro(8, 1, 1, "dp8")
-    if "anima_dp2sp4" in todo:
-        anima_micro(2, 1, 4, "dp2sp4")
-    if "anima_dp2pp4" in todo:
-        anima_pp(2, 4, "dp2pp4")
+    jobs = [("sdxl_dp8", lambda: sdxl_steps(8, 1, "dp8")),
+            ("sdxl_dp4tp2", lambda: sdxl_steps(4, 2, "dp4tp2")),
+            ("anima_dp8", lambda: anima_micro(8, 1, 1, "dp8")),
+            ("anima_dp2sp4", lambda: anima_micro(2, 1, 4, "dp2sp4")),
+            ("anima_dp2pp4", lambda: anima_pp(2, 4, "dp2pp4"))]
+    errors = {}
+    for name, job in jobs:
+        if name not in todo:
+            continue
+        try:
+            job()
+        except Exception as e:  # record + continue: partial artifact > none
+            import traceback
+            traceback.print_exc()
+            errors[name] = f"{type(e).__name__}: {e}"
+        # checkpoint the report after every config — compiles are minutes
+        with open(out_path, "w") as f:
+            json.dump({**report, "ok": False, "errors": errors}, f, indent=1)
 
-    report["ok"] = True
+    report["errors"] = errors
+    report["ok"] = not errors
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {out_path}")
