@@ -191,6 +191,14 @@ def main() -> None:
                               "2(N-1)/N, gather/scatter (N-1)/N"},
         "compute_anchors_ms": {"sdxl_1024_b1": SDXL_MS,
                                "anima_4096_b1": ANIMA_MS},
+        "knob_env": {k: os.environ[k] for k in
+                     ("AOZORA_FUSED_QKV", "AOZORA_CONV_BWD",
+                      "AOZORA_FLASH_MIN_KV") if k in os.environ},
+        "knob_note": "collective volumes/memory are driven by param+grad "
+                     "layout and shardings, which the r4 default knobs "
+                     "(fused QKV trace rewrite, GEMM conv backward, flash "
+                     "dispatch threshold) do not change; runs may pin the "
+                     "legacy knobs to reuse the CPU compile cache",
         "configs": {},
     }
 
