@@ -57,11 +57,16 @@ def split_trainable_dit(params, exclude_keywords):
 
 def _make_anima_loss_fn(cfg: dit_mod.AnimaDiTConfig, *, compute_dtype,
                         attn_impl, remat, spatial_strength: float,
-                        pp_cfg=None):
+                        pp_cfg=None, param_shardings=None):
+    t_sh, f_sh = ((None, None) if param_shardings is None or pp_cfg
+                  is not None else param_shardings)
+
     def loss_fn(trainable, frozen, latents, prompt_emb, t5_ids, tickets,
                 sample_mask, spatial_mask, loss_weights, seed, micro_step):
         from . import objectives as sdxl_obj
-        params = {**frozen, **trainable}
+        from .train_step import precast_params
+        params = {**precast_params(frozen, f_sh, compute_dtype),
+                  **precast_params(trainable, t_sh, compute_dtype)}
         sigmas, timesteps = anima_objectives.ticket_to_sigma_timestep(tickets)
         noise = sdxl_obj.noise_for_step(seed, micro_step, latents.shape)
         noisy, target = anima_objectives.flowmatch_noise_and_target(
@@ -102,7 +107,8 @@ def _make_anima_loss_fn(cfg: dit_mod.AnimaDiTConfig, *, compute_dtype,
 def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
                           compute_dtype, attn_impl, remat,
                           spatial_strength: float = 0.0,
-                          accum_dtype=jnp.float32, pp_cfg=None):
+                          accum_dtype=jnp.float32, pp_cfg=None,
+                          param_shardings=None):
     """``spatial_strength`` > 0 enables the line-art-masked loss: the
     ``spatial_mask`` micro-step input then boosts per-pixel error by
     ``1 + mask * strength`` (repair trainer, reference
@@ -111,7 +117,8 @@ def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
     loss_fn = _make_anima_loss_fn(cfg, compute_dtype=compute_dtype,
                                   attn_impl=attn_impl, remat=remat,
                                   spatial_strength=spatial_strength,
-                                  pp_cfg=pp_cfg)
+                                  pp_cfg=pp_cfg,
+                                  param_shardings=param_shardings)
     acc_dt = jnp.dtype(accum_dtype)
 
     def micro_step(trainable, frozen, grad_accum, latents, prompt_emb, t5_ids,
@@ -131,14 +138,16 @@ def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
 
 def make_anima_fused_step(cfg: dit_mod.AnimaDiTConfig, opt_cfg, *,
                           clip_grad_norm, compute_dtype, attn_impl, remat,
-                          spatial_strength: float = 0.0):
+                          spatial_strength: float = 0.0,
+                          param_shardings=None):
     """GA=1 low-memory path (mirror of train_step.make_fused_step): fwd +
     bwd + clip + update in one donated-buffer program — no accum tree, so
     full-model 2.09B single-chip training fits next to bf16 master weights
     and int8 moments."""
     loss_fn = _make_anima_loss_fn(cfg, compute_dtype=compute_dtype,
                                   attn_impl=attn_impl, remat=remat,
-                                  spatial_strength=spatial_strength)
+                                  spatial_strength=spatial_strength,
+                                  param_shardings=param_shardings)
 
     def fused_step(trainable, frozen, opt_state, latents, prompt_emb, t5_ids,
                    tickets, sample_mask, spatial_mask, loss_weights, seed,
@@ -333,16 +342,24 @@ def run_anima_training(config, *, post_step_hook=None,
         print(f"INFO: Pipeline parallelism: {dit_cfg.num_blocks} DiT blocks "
               f"in {layout.pp} GPipe stages x {micro_m} microbatch(es) "
               f"per dp shard (dp={layout.dp}).")
-    micro = make_anima_micro_step(
-        dit_cfg, grad_accum_steps=config.GRADIENT_ACCUMULATION_STEPS,
-        compute_dtype=config.compute_dtype, attn_impl=attn_impl, remat=remat,
-        spatial_strength=(lineart_strength if lineart_enabled else 0.0),
-        accum_dtype=(plan.accum_dtype or jnp.float32), pp_cfg=pp_cfg_obj)
-    fused = (make_anima_fused_step(
-        dit_cfg, opt_cfg, clip_grad_norm=clip,
-        compute_dtype=config.compute_dtype, attn_impl=attn_impl, remat=remat,
-        spatial_strength=(lineart_strength if lineart_enabled else 0.0))
-        if plan.fused_apply and pp_cfg_obj is None else None)
+    def _build_steps(param_shardings=None):
+        micro = make_anima_micro_step(
+            dit_cfg, grad_accum_steps=config.GRADIENT_ACCUMULATION_STEPS,
+            compute_dtype=config.compute_dtype, attn_impl=attn_impl,
+            remat=remat,
+            spatial_strength=(lineart_strength if lineart_enabled else 0.0),
+            accum_dtype=(plan.accum_dtype or jnp.float32), pp_cfg=pp_cfg_obj,
+            param_shardings=param_shardings)
+        fused = (make_anima_fused_step(
+            dit_cfg, opt_cfg, clip_grad_norm=clip,
+            compute_dtype=config.compute_dtype, attn_impl=attn_impl,
+            remat=remat,
+            spatial_strength=(lineart_strength if lineart_enabled else 0.0),
+            param_shardings=param_shardings)
+            if plan.fused_apply and pp_cfg_obj is None else None)
+        return micro, fused
+
+    micro, fused = _build_steps()
 
     def _flat_view():
         """Checkpoint/preview view: stacked block leaves back to the
@@ -408,6 +425,14 @@ def run_anima_training(config, *, post_step_hook=None,
         trainable = shard.put_tree(trainable, mesh_shardings["trainable"])
         frozen = shard.put_tree(frozen, mesh_shardings["frozen"])
         opt_state = shard.put_tree(opt_state, mesh_shardings["opt_state"])
+        if pp_cfg_obj is None:
+            # rebuild the steps with the param shardings so the weight
+            # precast (train_step.precast_params) pins bf16 copies to the
+            # FSDP layout — the per-step weight all-gather then moves bf16,
+            # not the fp32 master (skipped under pipeline parallelism:
+            # stacked __stack__ leaves stream stage-local inside shard_map)
+            micro, fused = _build_steps((mesh_shardings["trainable"],
+                                         mesh_shardings["frozen"]))
         sh_b = mesh_shardings["batch"]
         sh_r = mesh_shardings["replicated"]
         micro_fn = jax.jit(

@@ -88,6 +88,19 @@ _LADDER_XLA = [
     ("xla", True, None),
 ]
 
+# Backward-workspace cost of the r4 fast-backward rewrites (GEMM-decomposed
+# conv backward + fused QKV).  Measured at full-size 1024px b1 on the
+# two-pass update pass: 17.77 GB with the rewrites vs 12.88 GB without
+# (+4.89 GB at 16384 latent pixels -> ~0.30 MB/latpix; the 9-tap dgrad
+# dot_generals and fused-weight cotangent concats materialize temps the
+# window-dilated XLA backward never does).  The planner keeps its pinned
+# rung selection and only gates the rewrites: when the selected rung is a
+# single-chip low-memory one and est + this workspace exceeds the budget,
+# the plan pins the legacy backward (AOZORA_CONV_BWD=xla, AOZORA_FUSED_QKV
+# =0) — this is exactly the configuration that OOMed the full-size descent
+# run's compile until the knobs were hand-pinned (TRAINRUN_r04).
+_FAST_BWD_BYTES_PER_LATPIX = 0.31 * MB
+
 # Reserved headroom: XLA workspace, batch buffers (double-buffered
 # prefetch), preview/save transients, fragmentation slack.
 _RESERVE_BYTES = int(0.4 * GB)
@@ -113,6 +126,10 @@ class MemoryPlan:
     # (hires_tokens, full_tokens) for "*_hires" remat modes; None keeps the
     # model's env-tunable defaults (no full-remat tier)
     remat_thresholds: tuple | None = None
+    # r4 default backward rewrites (GEMM conv backward + fused QKV) allowed?
+    # False when their measured workspace doesn't fit next to a single-chip
+    # low-memory state rung; the trainer then pins the legacy knobs.
+    fast_backward: bool = True
 
     @property
     def low_memory(self) -> bool:
@@ -191,11 +208,41 @@ def state_bytes(trainable_elems: int, frozen_elems: int, *,
         # with activation temps + fp32 update scratch, calibrated on the
         # measured full-size compile (see docstring)
         peak += 0.16 * grads + int(0.6 * GB)
+        if moment_dtype == "int8_blockwise" and not moments_host:
+            # The plain fused step has NO per-tensor barrier ties (only
+            # jit_two_pass_fused does): every int8-moment decode depends
+            # only on program arguments, so XLA's latency-hiding scheduler
+            # hoists them ahead of the backward — up to 2x trainable of
+            # fp32 decode scratch alive at once.  Measured: 19.54 GB HLO
+            # temp on full SDXL (r3 AOT probe, barrierless program) and a
+            # 23.32 GB compile (est 14.00) that OOMed the full-size Anima
+            # fused+int8 step on v5e-1 (r4).  Assume full hoisting.
+            peak += 2 * t * 4 / shard
     return {"master": int(master), "frozen": int(frozen),
             "moments": int(moments), "accum": int(accum),
             "grads_transient": int(grads),
             "resident": int(resident),
             "peak_state": int(peak)}
+
+
+def _gate_fast_backward(plan: MemoryPlan, batch: int,
+                        latent_pixels: int) -> MemoryPlan:
+    """Disable the r4 fast-backward rewrites on a selected plan when their
+    measured workspace does not fit next to a single-chip low-memory state
+    rung (see ``_FAST_BWD_BYTES_PER_LATPIX``).  Rung selection itself is
+    untouched — the r2/r3-measured ladder stays ground truth."""
+    if not (plan.low_memory and plan.fused_apply and plan.budget_bytes):
+        return plan
+    ws = int(_FAST_BWD_BYTES_PER_LATPIX * batch * latent_pixels)
+    if plan.est_bytes + ws <= plan.budget_bytes:
+        return plan
+    from dataclasses import replace
+    note = (f"fast-backward rewrites gated: est {plan.est_bytes / GB:.2f} "
+            f"+ workspace {ws / GB:.2f} GB > budget "
+            f"{plan.budget_bytes / GB:.2f} GB -> legacy conv backward / "
+            "unfused QKV")
+    return replace(plan, fast_backward=False,
+                   reason=plan.reason + "\n" + note)
 
 
 def activation_bytes(attn_impl: str, remat, batch: int,
@@ -279,7 +326,11 @@ def _state_candidates(ga_steps: int, master_override,
 # knob — crude but conservative bounds from the r2 probe evidence
 # (conservative+flash runs 4096 tokens b1 comfortably on v5e-1).
 _ANIMA_ACT_BYTES_PER_TOKEN = {
-    True: 0.10 * MB,            # Full checkpointing
+    # Full checkpointing: the r4 full-size OOM dump shows the backward
+    # keeps >=20 x 64 MB attention dot_general fusion temps alive at 4096
+    # tokens (latency-hiding scheduler overlapping block backwards), so
+    # 0.10 MB/token was optimistic; 0.25 covers the measured temp set.
+    True: 0.25 * MB,
     "conservative": 0.60 * MB,  # saves mlp_down + flash (out,lse)
     False: 2.0 * MB,            # no recompute
 }
@@ -402,7 +453,8 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
                 reason="\n".join(trace), moments_host=host,
                 two_pass=two_pass, remat_thresholds=thresholds)
             if fits:
-                return plan
+                return _gate_fast_backward(plan, batch_per_device,
+                                           max_latent_pixels)
             if best_fallback is None or est < best_fallback.est_bytes:
                 best_fallback = plan
 
@@ -418,7 +470,8 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
           "the model (UNET_EXCLUDE_TARGETS), or run on more chips (FSDP "
           "shards master weights and moments across the dp axis).\n"
           + "\n".join(trace))
-    return best_fallback
+    return _gate_fast_backward(best_fallback, batch_per_device,
+                               max_latent_pixels)
 
 
 def describe_plan(plan: MemoryPlan, *, verbose: bool = False) -> str:
@@ -450,6 +503,11 @@ def describe_plan(plan: MemoryPlan, *, verbose: bool = False) -> str:
            f"{plan.remat_thresholds[1]} tokens)"
            if plan.remat_thresholds else ""),
     ]
+    if not plan.fast_backward:
+        lines.append(
+            "INFO:   backward: legacy (GEMM conv backward + fused QKV "
+            "gated — their ~0.30 MB/latent-pixel workspace does not fit "
+            "next to this low-memory state rung)")
     if verbose:
         lines.append(plan.reason)
     return "\n".join(lines)

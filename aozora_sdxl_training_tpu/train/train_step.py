@@ -19,6 +19,7 @@ train.py:2664-2667); gradients exist only for the trainable subset.
 from __future__ import annotations
 
 import fnmatch
+import functools
 from dataclasses import dataclass
 from typing import Any
 
@@ -64,11 +65,59 @@ class TrainStepConfig:
     accum_dtype: Any = jnp.float32
 
 
-def make_loss_fn(cfg: TrainStepConfig):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _fwd_sharding_constraint(x, sharding):
+    """with_sharding_constraint applied to the FORWARD value only.
+
+    Used to pin the bf16 weight copy to its FSDP (sharded) layout so GSPMD
+    all-gathers the bf16 cast instead of the fp32 master — halving the
+    per-step ICI weight-gather payload (measured 23.4 GB of f32 all-gather
+    per dp8 micro-step in MULTICHIP_ESTIMATES_r04).  A plain
+    with_sharding_constraint would also constrain the cotangent, forcing
+    the weight-grad reduction to happen in bf16 — a numerics change; this
+    custom VJP passes the cotangent through untouched, leaving the grad
+    all-reduce placement/dtype exactly as before.
+    """
+    return jax.lax.with_sharding_constraint(x, sharding)
+
+
+def _fsc_fwd(x, sharding):
+    return jax.lax.with_sharding_constraint(x, sharding), None
+
+
+def _fsc_bwd(_sharding, _res, g):
+    return (g,)
+
+
+_fwd_sharding_constraint.defvjp(_fsc_fwd, _fsc_bwd)
+
+
+def precast_params(tree: Params, shardings, compute_dtype) -> Params:
+    """Cast matmul/conv weights (ndim >= 2) to the compute dtype UNDER
+    their storage sharding, so the downstream all-gather moves bf16.
+
+    1-D params (norm scales, biases) keep the master dtype — GroupNorm/
+    RMSNorm consume them in fp32 (models/sdxl/unet.py:111) and their
+    gather traffic is negligible.  The model's own per-use ``astype``
+    makes the ndim>=2 cast a no-op numerically (XLA CSEs the converts),
+    so single-chip results are bit-identical.
+    """
+    if shardings is None:
+        return tree
+    return {k: (_fwd_sharding_constraint(v.astype(compute_dtype),
+                                         shardings[k])
+                if v.ndim >= 2 else v)
+            for k, v in tree.items()}
+
+
+def make_loss_fn(cfg: TrainStepConfig, param_shardings=None):
+    t_sh, f_sh = param_shardings if param_shardings else (None, None)
+
     def loss_fn(trainable: Params, frozen: Params, latents, embeds, pooled,
                 time_ids, timesteps, sample_mask, loss_weights, seed,
                 micro_step):
-        params = {**frozen, **trainable}
+        params = {**precast_params(frozen, f_sh, cfg.compute_dtype),
+                  **precast_params(trainable, t_sh, cfg.compute_dtype)}
         noise = objectives.noise_for_step(seed, micro_step, latents.shape)
         rf_jitter = (objectives.rf_jitter_for_step(seed, micro_step,
                                                    latents.shape[0])
@@ -87,14 +136,14 @@ def make_loss_fn(cfg: TrainStepConfig):
     return loss_fn
 
 
-def make_micro_step(cfg: TrainStepConfig):
+def make_micro_step(cfg: TrainStepConfig, param_shardings=None):
     """micro_step(trainable, frozen, grad_accum, batch..., keep) ->
     (loss, sigma0, new_grad_accum).
 
     ``keep`` is 1.0 mid-accumulation-window and 0.0 on the first micro-step
     of a window (replaces ``zero_grad`` with a fused multiply-add).
     """
-    loss_fn = make_loss_fn(cfg)
+    loss_fn = make_loss_fn(cfg, param_shardings)
     inv_ga = 1.0 / float(cfg.grad_accum_steps)
 
     def micro_step(trainable, frozen, grad_accum, latents, embeds, pooled,
@@ -114,7 +163,8 @@ def make_micro_step(cfg: TrainStepConfig):
     return micro_step
 
 
-def make_fused_step(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig):
+def make_fused_step(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig,
+                    param_shardings=None):
     """GA=1 low-memory path: fwd + bwd + clip + optimizer update in ONE
     compiled program with donated parameter/state buffers.
 
@@ -126,7 +176,7 @@ def make_fused_step(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig):
     fused(trainable, frozen, opt_state, batch..., lr) ->
         (loss, sigma0, new_trainable, new_opt_state, raw_norm, update_norm)
     """
-    loss_fn = make_loss_fn(cfg)
+    loss_fn = make_loss_fn(cfg, param_shardings)
 
     def fused_step(trainable, frozen, opt_state, latents, embeds, pooled,
                    time_ids, timesteps, sample_mask, loss_weights, seed,
@@ -314,7 +364,8 @@ def jit_train_functions(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig,
     grad_accum, opt_state, batch leaves} when running over a mesh; None means
     single-device defaults.
     """
-    micro = make_micro_step(cfg)
+    micro = make_micro_step(cfg, param_shardings=(
+        (shardings["trainable"], shardings["frozen"]) if shardings else None))
     apply_ = make_apply_step(cfg, opt_cfg)
 
     micro_kw: dict = dict(donate_argnums=(2,))
@@ -380,7 +431,9 @@ def jit_fused_function(cfg: TrainStepConfig, opt_cfg: adamw.AdamWConfig,
     TPU-native form of the reference's Raven/Titan CPU offload,
     raven.py:122-147, with the update math still a fused device kernel).
     """
-    fused = make_fused_step(cfg, opt_cfg)
+    psh = ((shardings["trainable"], shardings["frozen"])
+           if shardings else None)
+    fused = make_fused_step(cfg, opt_cfg, param_shardings=psh)
     if moments_host:
         dev = device or jax.devices()[0]
         return jit_moments_host(fused, dev)

@@ -300,6 +300,14 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
         remat_override=_sdxl_remat_mode(),
         master_override=str(getattr(config, "MASTER_DTYPE", "auto")))
     print(memory_policy.describe_plan(plan))
+    # The r4 fast-backward rewrites (GEMM conv backward, fused QKV) are
+    # trace-time env knobs; the plan decides whether their workspace fits
+    # (an explicit user AOZORA_* pin always wins — setdefault).
+    import os as _os
+    _os.environ.setdefault("AOZORA_CONV_BWD",
+                           "gemm2" if plan.fast_backward else "xla")
+    _os.environ.setdefault("AOZORA_FUSED_QKV",
+                           "1" if plan.fast_backward else "0")
     if plan.moment_dtype != opt_cfg.momentum_dtype:
         print("WARNING: moment storage downgraded to int8_blockwise to fit "
               "the HBM budget (update math is unchanged — fp32 scratch).")

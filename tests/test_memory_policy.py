@@ -105,6 +105,30 @@ def test_fulltop_tier_never_offered_at_1024px():
         assert p.remat_thresholds is None, kwargs
 
 
+def test_fast_backward_gated_on_single_chip_two_pass():
+    # r4 measured truth (TRAINRUN_r04): the full-size two-pass update pass
+    # compiles to 17.77 GB with gemm2+fusedqkv vs 12.88 GB without — the
+    # rewrites' workspace does not fit next to the low-memory rung.  The
+    # rung selection itself must be unchanged.
+    p = plan()
+    assert p.two_pass and p.remat is True      # selection untouched
+    assert not p.fast_backward
+    assert "fast-backward rewrites gated" in p.reason
+
+
+def test_fast_backward_kept_under_fsdp():
+    # multi-chip FSDP shards the state; the fast backward (the r4 bench
+    # default, 0.241 s/img) stays on
+    p = plan(dp_shard=8, ga_steps=4)
+    assert p.fast_backward
+
+
+def test_fast_backward_kept_for_small_models():
+    # fp32-master rungs (not low-memory) never gate
+    p = plan(trainable_elems=120_000_000, frozen_elems=2_447_000_000)
+    assert not p.low_memory and p.fast_backward
+
+
 def test_remat_override_wins():
     p = plan(remat_override="dots_no_logits_hires", dp_shard=8, ga_steps=4)
     assert p.remat == "dots_no_logits_hires"
@@ -261,14 +285,21 @@ def test_two_pass_matches_fused_step():
 
 
 def test_anima_plan_single_chip_low_memory():
-    """2.09B DiT, full model trainable, one 16 GB chip: needs bf16 master
-    + fused GA + int8 moments under Full checkpointing."""
+    """2.09B DiT, full model trainable, one 16 GB chip: bf16 master +
+    int8 moments on the TWO-PASS rung under Full checkpointing.
+
+    r4 measured truth: the plain fused+int8 step (no per-tensor barrier
+    ties) compiled to 23.32 GB on v5e-1 (est was 14.00) — XLA hoists the
+    un-barriered int8-moment decodes ahead of the backward.  Only the
+    barriered two-pass rung is safe at this scale; there the grad tree is
+    gone, so the REQUESTED bf16 moments fit without the int8 downgrade."""
     p = mp.plan_anima_training(
         trainable_elems=2_090_000_000, frozen_elems=0, batch_per_device=1,
         tokens=4096, ga_steps=1, remat=True, dp_shard=1,
         requested_moment_dtype=jnp.bfloat16, budget_bytes=V5E)
     assert p.master_dtype == jnp.bfloat16
-    assert p.fused_apply and p.moment_dtype == "int8_blockwise"
+    assert p.fused_apply and p.moment_dtype == jnp.bfloat16
+    assert p.two_pass and not p.moments_host
     assert p.est_bytes <= V5E
 
 

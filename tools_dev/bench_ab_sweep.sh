@@ -5,11 +5,14 @@
 # timeout.  REPS runs per config (default 3) interleaved round-robin so a
 # slow drift in the tunnel doesn't bias one config.
 #
-# Knobs under test (all default-off; r2-measured config is the baseline):
-#   AOZORA_FLASH_MIN_KV=1024      flash dispatch threshold (default 2048)
-#   AOZORA_CONV_BWD=gemm2         dgrad conv as 9-tap dot_general / 4-phase GEMM
-#   AOZORA_FUSED_QKV=1            one wide GEMM for q/k/v
-#   AOZORA_NORM_IMPL=dot          flat bf16 self-dot grad-norm (fp32 accum)
+# Knobs under test (since the r4 default flip, flash1024/gemm2/fusedqkv are
+# the CODE defaults — every tag pins all four knobs explicitly so the sweep
+# stays meaningful regardless of what the defaults are):
+#   AOZORA_FLASH_MIN_KV           flash dispatch threshold (r2 legacy: 2048)
+#   AOZORA_CONV_BWD               dgrad conv backward: gemm2 | xla (legacy)
+#   AOZORA_FUSED_QKV              one wide GEMM for q/k/v: 1 | 0 (legacy)
+#   AOZORA_NORM_IMPL              grad-norm: dot | default (not flipped; see
+#                                 CLAUDE.md r4 attribution note)
 set -u
 LOG=${LOG:-/tmp/bench_ab.log}
 OUT=${OUT:-/tmp/bench_ab_results.jsonl}
@@ -34,11 +37,11 @@ run() {
   fi
 }
 for rep in $(seq 1 "$REPS"); do
-  run baseline       AOZORA_NOOP=1
+  run baseline       AOZORA_FLASH_MIN_KV=2048 AOZORA_CONV_BWD=xla AOZORA_FUSED_QKV=0
   run combo          AOZORA_FLASH_MIN_KV=1024 AOZORA_CONV_BWD=gemm2 AOZORA_FUSED_QKV=1 AOZORA_NORM_IMPL=dot
-  run loo-flash1024  AOZORA_CONV_BWD=gemm2 AOZORA_FUSED_QKV=1 AOZORA_NORM_IMPL=dot
-  run loo-gemm2      AOZORA_FLASH_MIN_KV=1024 AOZORA_FUSED_QKV=1 AOZORA_NORM_IMPL=dot
-  run loo-fusedqkv   AOZORA_FLASH_MIN_KV=1024 AOZORA_CONV_BWD=gemm2 AOZORA_NORM_IMPL=dot
+  run loo-flash1024  AOZORA_FLASH_MIN_KV=2048 AOZORA_CONV_BWD=gemm2 AOZORA_FUSED_QKV=1 AOZORA_NORM_IMPL=dot
+  run loo-gemm2      AOZORA_FLASH_MIN_KV=1024 AOZORA_CONV_BWD=xla AOZORA_FUSED_QKV=1 AOZORA_NORM_IMPL=dot
+  run loo-fusedqkv   AOZORA_FLASH_MIN_KV=1024 AOZORA_CONV_BWD=gemm2 AOZORA_FUSED_QKV=0 AOZORA_NORM_IMPL=dot
   run loo-normdot    AOZORA_FLASH_MIN_KV=1024 AOZORA_CONV_BWD=gemm2 AOZORA_FUSED_QKV=1
 done
 echo "=== sweep done $(date +%H:%M:%S) ===" | tee -a "$LOG"

@@ -43,6 +43,14 @@ run_phase() {  # run_phase <preset> <log>
     local code=$?
     set -e
     if [ $code -eq 0 ]; then return 0; fi
+    if grep -qE "Ran out of memory|Exceeded hbm capacity|RESOURCE_EXHAUSTED" "$log"; then
+      # a compile OOM is deterministic — retrying forever just spins
+      # (the HTTP-500 wrapper contains "remote_compile", which would
+      # otherwise match the tunnel-flap pattern below)
+      echo "HBM OOM (deterministic) — aborting, not a tunnel flap"
+      grep -m1 -E "Ran out of memory|Exceeded hbm capacity" "$log"
+      exit 42
+    fi
     if grep -qE "not in the list of known backends|UNAVAILABLE:|Broken pipe|Network Error|Connection reset|remote_compile|WATCHDOG_STALL" "$log"; then
       echo "tunnel flap; retrying in 60s"; sleep 60; continue
     fi

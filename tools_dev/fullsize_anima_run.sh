@@ -43,6 +43,14 @@ for attempt in $(seq 1 40); do
   set -e
   grep -E "Memory plan|master|moments|attention|accum|Encoding|Cached|cache|Optimizer Step: (1|2|50|60) |checkpoint|complete|WARNING|Error" run.log | head -40 || true
   if [ $code -eq 0 ]; then break; fi
+  if grep -qE "Ran out of memory|Exceeded hbm capacity|RESOURCE_EXHAUSTED" run.log; then
+    # a compile OOM is deterministic — retrying forever just spins
+    # (the HTTP-500 wrapper contains "remote_compile", which would
+    # otherwise match the tunnel-flap pattern below)
+    echo "HBM OOM (deterministic) — aborting, not a tunnel flap"
+    grep -m1 -E "Ran out of memory|Exceeded hbm capacity" run.log
+    exit 42
+  fi
   if grep -qE "not in the list of known backends|UNAVAILABLE:|Broken pipe|Network Error|Connection reset|remote_compile|WATCHDOG_STALL" run.log; then
     echo "tunnel flap (init or mid-run transport); retrying in 60s"
     sleep 60

@@ -50,6 +50,14 @@ for attempt in $(seq 1 40); do
   code=$?
   set -e
   if [ $code -eq 0 ]; then break; fi
+  if grep -qE "Ran out of memory|Exceeded hbm capacity|RESOURCE_EXHAUSTED" descent.log; then
+    # a compile OOM is deterministic — retrying forever just spins
+    # (the HTTP-500 wrapper contains "remote_compile", which would
+    # otherwise match the tunnel-flap pattern below)
+    echo "HBM OOM (deterministic) — aborting, not a tunnel flap"
+    grep -m1 -E "Ran out of memory|Exceeded hbm capacity" descent.log
+    exit 42
+  fi
   if grep -qE "not in the list of known backends|UNAVAILABLE:|Broken pipe|Network Error|Connection reset|remote_compile|WATCHDOG_STALL" descent.log; then
     echo "tunnel flap; retrying in 60s"; sleep 60; continue
   fi

@@ -54,6 +54,14 @@ for attempt in $(seq 1 20); do
   set -e
   grep -E "Restored|resume|Optimizer Step: (5[1-9]|60) |checkpoint|complete|Error" resume.log | head -30 || true
   if [ $code -eq 0 ]; then break; fi
+  if grep -qE "Ran out of memory|Exceeded hbm capacity|RESOURCE_EXHAUSTED" resume.log; then
+    # a compile OOM is deterministic — retrying forever just spins
+    # (the HTTP-500 wrapper contains "remote_compile", which would
+    # otherwise match the tunnel-flap pattern below)
+    echo "HBM OOM (deterministic) — aborting, not a tunnel flap"
+    grep -m1 -E "Ran out of memory|Exceeded hbm capacity" resume.log
+    exit 42
+  fi
   if grep -qE "not in the list of known backends|UNAVAILABLE:|Broken pipe|Network Error|Connection reset|remote_compile|WATCHDOG_STALL" resume.log; then
     echo "tunnel flap; retrying in 60s"
     sleep 60

@@ -56,6 +56,14 @@ for attempt in $(seq 1 40); do
   # (init-time) and transport drops mid-run (UNAVAILABLE / Broken pipe on
   # remote_compile or execute). The caching pass is incremental, so each
   # retry resumes where the last attempt died.
+  if grep -qE "Ran out of memory|Exceeded hbm capacity|RESOURCE_EXHAUSTED" run.log; then
+    # a compile OOM is deterministic — retrying forever just spins
+    # (the HTTP-500 wrapper contains "remote_compile", which would
+    # otherwise match the tunnel-flap pattern below)
+    echo "HBM OOM (deterministic) — aborting, not a tunnel flap"
+    grep -m1 -E "Ran out of memory|Exceeded hbm capacity" run.log
+    exit 42
+  fi
   if grep -qE "not in the list of known backends|UNAVAILABLE:|Broken pipe|Network Error|Connection reset|remote_compile|WATCHDOG_STALL" run.log; then
     echo "tunnel flap (init or mid-run transport); retrying in 60s"
     sleep 60
