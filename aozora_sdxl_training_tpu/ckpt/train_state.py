@@ -104,8 +104,15 @@ def check_resume_global_batch(resume_meta: dict, global_batch: int) -> None:
 
 
 def load_train_state(path) -> tuple[dict, AdamWState]:
-    """Returns (meta dict, AdamWState with numpy leaves keyed like params)."""
-    import jax.numpy as jnp
+    """Returns (meta dict, AdamWState with numpy leaves keyed like params).
+
+    Leaves stay on HOST (numpy): a full-size moment tree is ~2x trainable
+    bytes, and eagerly device-putting it here while the trainer's
+    freshly-initialized zero state is still alive doubles the moment
+    residency — exactly the OOM that killed the r4 full-size Anima resume
+    (8.4 GB zeros + 8.4 GB restored + 4.2 GB master on a 15.5 GB chip).
+    The trainer device-puts once, with the right sharding, after the zero
+    state has been dropped."""
     meta = json.loads(read_metadata(path).get("json", "{}"))
     tensors = load_all(path)
 
@@ -116,10 +123,10 @@ def load_train_state(path) -> tuple[dict, AdamWState]:
                 continue
             name = k[len(prefix):]
             scales = tensors.get(f"{prefix}{name}@scales")
-            out[name] = ((jnp.asarray(t), jnp.asarray(scales))
-                         if scales is not None else jnp.asarray(t))
+            out[name] = ((np.asarray(t), np.asarray(scales))
+                         if scales is not None else np.asarray(t))
         return out
 
-    step = jnp.asarray(tensors.get("opt.step", np.zeros((), np.int32)))
+    step = np.asarray(tensors.get("opt.step", np.zeros((), np.int32)))
     return meta, AdamWState(step=step, exp_avg=collect("m."),
                             exp_avg_sq=collect("v."))

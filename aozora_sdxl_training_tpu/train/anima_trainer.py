@@ -57,7 +57,8 @@ def split_trainable_dit(params, exclude_keywords):
 
 def _make_anima_loss_fn(cfg: dit_mod.AnimaDiTConfig, *, compute_dtype,
                         attn_impl, remat, spatial_strength: float,
-                        pp_cfg=None, param_shardings=None):
+                        pp_cfg=None, param_shardings=None,
+                        gather_once: bool = True):
     t_sh, f_sh = ((None, None) if param_shardings is None or pp_cfg
                   is not None else param_shardings)
 
@@ -65,8 +66,10 @@ def _make_anima_loss_fn(cfg: dit_mod.AnimaDiTConfig, *, compute_dtype,
                 sample_mask, spatial_mask, loss_weights, seed, micro_step):
         from . import objectives as sdxl_obj
         from .train_step import precast_params
-        params = {**precast_params(frozen, f_sh, compute_dtype),
-                  **precast_params(trainable, t_sh, compute_dtype)}
+        params = {**precast_params(frozen, f_sh, compute_dtype,
+                                   gather_once),
+                  **precast_params(trainable, t_sh, compute_dtype,
+                                   gather_once)}
         sigmas, timesteps = anima_objectives.ticket_to_sigma_timestep(tickets)
         noise = sdxl_obj.noise_for_step(seed, micro_step, latents.shape)
         noisy, target = anima_objectives.flowmatch_noise_and_target(
@@ -108,7 +111,7 @@ def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
                           compute_dtype, attn_impl, remat,
                           spatial_strength: float = 0.0,
                           accum_dtype=jnp.float32, pp_cfg=None,
-                          param_shardings=None):
+                          param_shardings=None, gather_once: bool = True):
     """``spatial_strength`` > 0 enables the line-art-masked loss: the
     ``spatial_mask`` micro-step input then boosts per-pixel error by
     ``1 + mask * strength`` (repair trainer, reference
@@ -118,7 +121,8 @@ def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
                                   attn_impl=attn_impl, remat=remat,
                                   spatial_strength=spatial_strength,
                                   pp_cfg=pp_cfg,
-                                  param_shardings=param_shardings)
+                                  param_shardings=param_shardings,
+                                  gather_once=gather_once)
     acc_dt = jnp.dtype(accum_dtype)
 
     def micro_step(trainable, frozen, grad_accum, latents, prompt_emb, t5_ids,
@@ -139,7 +143,7 @@ def make_anima_micro_step(cfg: dit_mod.AnimaDiTConfig, *, grad_accum_steps,
 def make_anima_fused_step(cfg: dit_mod.AnimaDiTConfig, opt_cfg, *,
                           clip_grad_norm, compute_dtype, attn_impl, remat,
                           spatial_strength: float = 0.0,
-                          param_shardings=None):
+                          param_shardings=None, gather_once: bool = True):
     """GA=1 low-memory path (mirror of train_step.make_fused_step): fwd +
     bwd + clip + update in one donated-buffer program — no accum tree, so
     full-model 2.09B single-chip training fits next to bf16 master weights
@@ -147,7 +151,8 @@ def make_anima_fused_step(cfg: dit_mod.AnimaDiTConfig, opt_cfg, *,
     loss_fn = _make_anima_loss_fn(cfg, compute_dtype=compute_dtype,
                                   attn_impl=attn_impl, remat=remat,
                                   spatial_strength=spatial_strength,
-                                  param_shardings=param_shardings)
+                                  param_shardings=param_shardings,
+                                  gather_once=gather_once)
 
     def fused_step(trainable, frozen, opt_state, latents, prompt_emb, t5_ids,
                    tickets, sample_mask, spatial_mask, loss_weights, seed,
@@ -280,6 +285,11 @@ def run_anima_training(config, *, post_step_hook=None,
         budget_bytes=memory_policy.device_budget_bytes(layout.devices[0]),
         master_override=str(getattr(config, "MASTER_DTYPE", "auto")))
     print(memory_policy.describe_plan(plan))
+    # Mirror the SDXL trainer: the DiT reads AOZORA_FUSED_QKV (and the
+    # attention dispatch AOZORA_FLASH_MIN_KV) at trace time; the plan's
+    # fast-backward gate models the fused-QKV cotangent workspace that the
+    # 2.09B single-chip rungs cannot afford (ADVICE r4 #1).
+    memory_policy.apply_fast_backward_knobs(plan)
     if plan.moment_dtype != opt_cfg.momentum_dtype:
         print("WARNING: moment storage downgraded to int8_blockwise to fit "
               "the HBM budget (update math is unchanged — fp32 scratch).")
@@ -349,13 +359,13 @@ def run_anima_training(config, *, post_step_hook=None,
             remat=remat,
             spatial_strength=(lineart_strength if lineart_enabled else 0.0),
             accum_dtype=(plan.accum_dtype or jnp.float32), pp_cfg=pp_cfg_obj,
-            param_shardings=param_shardings)
+            param_shardings=param_shardings, gather_once=plan.gather_once)
         fused = (make_anima_fused_step(
             dit_cfg, opt_cfg, clip_grad_norm=clip,
             compute_dtype=config.compute_dtype, attn_impl=attn_impl,
             remat=remat,
             spatial_strength=(lineart_strength if lineart_enabled else 0.0),
-            param_shardings=param_shardings)
+            param_shardings=param_shardings, gather_once=plan.gather_once)
             if plan.fused_apply and pp_cfg_obj is None else None)
         return micro, fused
 
@@ -382,7 +392,6 @@ def run_anima_training(config, *, post_step_hook=None,
                             jax.tree.leaves(trainable)))
         return new_params, new_state, raw_norm, jnp.sqrt(delta_sq)
 
-    opt_state = adamw.init_state(trainable, opt_cfg)
     if resume_opt_state is not None and pp_cfg_obj is not None \
             and set(resume_opt_state.exp_avg) != set(trainable):
         # resume state saved by a non-pipeline run: restack the moment
@@ -400,11 +409,18 @@ def run_anima_training(config, *, post_step_hook=None,
             print(f"WARNING: could not restack resumed optimizer state for "
                   f"pipeline parallelism ({e}); starting with fresh moments.")
     if resume_opt_state is not None and set(resume_opt_state.exp_avg) == set(trainable):
+        # restored leaves are HOST numpy (ckpt.train_state): they reach
+        # the device once, below, with the run's sharding — the zero
+        # state is never allocated, so moments are resident exactly once
+        # (the r4 full-size resume OOMed on the double residency)
         opt_state = resume_opt_state
         print("INFO: Restored optimizer state from resume checkpoint.")
-    elif resume_opt_state is not None:
-        print("WARNING: resumed optimizer state keys do not match the "
-              "trainable set; starting with fresh moments.")
+    else:
+        if resume_opt_state is not None:
+            print("WARNING: resumed optimizer state keys do not match the "
+                  "trainable set; starting with fresh moments.")
+        opt_state = adamw.init_state(trainable, opt_cfg)
+    del resume_opt_state
 
     # mesh: dp batch sharding + FSDP/ZeRO params and optimizer state
     use_mesh = layout.use_mesh

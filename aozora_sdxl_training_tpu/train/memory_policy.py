@@ -130,6 +130,14 @@ class MemoryPlan:
     # False when their measured workspace doesn't fit next to a single-chip
     # low-memory state rung; the trainer then pins the legacy knobs.
     fast_backward: bool = True
+    # r5 multi-chip weight layout: True pins each bf16 compute weight
+    # dp-gathered for the whole micro-step (one all-gather per weight per
+    # step, fully local consumers — see train_step._compute_sharding) at
+    # the cost of the full bf16 weight tree resident; False keeps the
+    # compute copies dp-sharded (per-consumer gathers, ~2x weight ICI
+    # traffic + GSPMD activation resharding) to free that HBM at big
+    # buckets.  Irrelevant single-chip.
+    gather_once: bool = True
 
     @property
     def low_memory(self) -> bool:
@@ -159,7 +167,8 @@ def device_budget_bytes(device=None) -> int | None:
 def state_bytes(trainable_elems: int, frozen_elems: int, *,
                 master_dtype, frozen_dtype, accum_dtype, moment_dtype,
                 dp_shard: int = 1, moments_host: bool = False,
-                fused: bool = False, two_pass: bool = False) -> dict[str, int]:
+                fused: bool = False, two_pass: bool = False,
+                gather_once: bool = True) -> dict[str, int]:
     """Per-device resident + transient state accounting.
 
     Under FSDP the master/moment/accum trees shard over ``dp_shard``
@@ -197,7 +206,14 @@ def state_bytes(trainable_elems: int, frozen_elems: int, *,
         hbm_moments = int(0.5 * GB) if moments else 0
     else:
         hbm_moments = moments
-    resident = master + frozen + hbm_moments + accum
+    # gather-once compute replicas (train_step._compute_sharding): under
+    # FSDP every >=2-D weight's bf16 compute copy is pinned dp-gathered for
+    # the whole micro-step — one all-gather per weight per step and fully
+    # local consumers, at the cost of the full bf16 weight tree resident
+    # next to the activations (conservative: ignores tp sharding of the
+    # compute copy).
+    compute_replicas = 2 * (t + f) if (shard > 1 and gather_once) else 0
+    resident = master + frozen + hbm_moments + accum + compute_replicas
     peak = (resident + grads) * _STATE_SLACK
     if two_pass:
         # fp32 update scratch (m/v/p per tensor) in pass 2 + scheduling
@@ -226,14 +242,18 @@ def state_bytes(trainable_elems: int, frozen_elems: int, *,
 
 
 def _gate_fast_backward(plan: MemoryPlan, batch: int,
-                        latent_pixels: int) -> MemoryPlan:
+                        latent_pixels: int,
+                        ws_bytes_per_unit: float | None = None
+                        ) -> MemoryPlan:
     """Disable the r4 fast-backward rewrites on a selected plan when their
     measured workspace does not fit next to a single-chip low-memory state
     rung (see ``_FAST_BWD_BYTES_PER_LATPIX``).  Rung selection itself is
     untouched — the r2/r3-measured ladder stays ground truth."""
     if not (plan.low_memory and plan.fused_apply and plan.budget_bytes):
         return plan
-    ws = int(_FAST_BWD_BYTES_PER_LATPIX * batch * latent_pixels)
+    coeff = (ws_bytes_per_unit if ws_bytes_per_unit is not None
+             else _FAST_BWD_BYTES_PER_LATPIX)
+    ws = int(coeff * batch * latent_pixels)
     if plan.est_bytes + ws <= plan.budget_bytes:
         return plan
     from dataclasses import replace
@@ -243,6 +263,52 @@ def _gate_fast_backward(plan: MemoryPlan, batch: int,
             "unfused QKV")
     return replace(plan, fast_backward=False,
                    reason=plan.reason + "\n" + note)
+
+
+# Which of the trace-time backward knobs the USER had pinned when the
+# planner last applied a plan — tracked by value so a knob this module set
+# on a previous run (GUI-driven multi-run processes, the pytest suite)
+# never masquerades as a user pin (ADVICE r4: plumbing the plan through
+# os.environ.setdefault let stale values win over the current plan).
+_APPLIED_KNOBS: dict[str, str] = {}
+
+
+def apply_fast_backward_knobs(plan: MemoryPlan) -> None:
+    """Materialize the plan's fast-backward decision into the trace-time
+    env knobs read by ops/conv.py, ops/fused_proj.py and ops/attention.py.
+
+    * ``fast_backward=True``: the r4 LOO-attributed default combo
+      (gemm2 conv backward + fused QKV + flash@1024) — the three rewrites
+      only win TOGETHER (AB_SWEEP_r04: each alone regresses).
+    * gated: the full legacy combo including ``AOZORA_FLASH_MIN_KV=2048``
+      — flash@1024 without gemm2+fusedqkv is a measured regression
+      (0.25144 vs 0.24837 s/img) and the legacy trio is exactly the
+      compile-validated TRAINRUN_r04 full-size configuration.
+
+    An explicit user pin (a value we did not set ourselves) always wins.
+    """
+    desired = {
+        "AOZORA_CONV_BWD": "gemm2" if plan.fast_backward else "xla",
+        "AOZORA_FUSED_QKV": "1" if plan.fast_backward else "0",
+        "AOZORA_FLASH_MIN_KV": "1024" if plan.fast_backward else "2048",
+    }
+    for key, val in desired.items():
+        current = os.environ.get(key)
+        user_pinned = (current is not None
+                       and current != _APPLIED_KNOBS.get(key))
+        if not user_pinned:
+            os.environ[key] = val
+            _APPLIED_KNOBS[key] = val
+
+
+# Fused-QKV backward workspace for the Anima DiT (bytes per batch x token).
+# No convs in the DiT, so only the wide-GEMM cotangent concat applies:
+# each block's backward materializes a [B, T, 3*2048] bf16 qkv-cotangent
+# (12 KB/token) and the latency-hiding scheduler keeps ~20 block backwards
+# in flight at full size (r4 OOM dump evidence for the attention temps) ->
+# ~0.25 MB/token, conservative.  Calibrate against a full-size AOT compile
+# when the gate first fires on-chip.
+_ANIMA_FAST_BWD_BYTES_PER_TOKEN = 0.25 * MB
 
 
 def activation_bytes(attn_impl: str, remat, batch: int,
@@ -353,39 +419,47 @@ def plan_anima_training(*, trainable_elems: int, frozen_elems: int,
               * batch_per_device * tokens)
     trace: list[str] = []
     best_fallback = None
+    gather_modes = [True, False] if dp_shard > 1 else [True]
     for master, accum_dtype, fused, moment, host, two_pass in _state_candidates(
             ga_steps, master_override, requested_moment_dtype,
             allow_moments_host=(dp_shard == 1)):
         frozen_dtype = jnp.bfloat16 if master == jnp.bfloat16 else jnp.float32
-        st = state_bytes(trainable_elems, frozen_elems,
-                         master_dtype=master, frozen_dtype=frozen_dtype,
-                         accum_dtype=accum_dtype, moment_dtype=moment,
-                         dp_shard=dp_shard, moments_host=host, fused=fused,
-                         two_pass=two_pass)
-        est = st["peak_state"] + act + _RESERVE_BYTES
-        fits = budget_bytes is None or est <= budget_bytes
-        trace.append(
-            f"{jnp.dtype(master).name}-master/"
-            f"{'fused' if fused else jnp.dtype(accum_dtype).name + '-accum'}/"
-            f"{moment if isinstance(moment, str) else jnp.dtype(moment).name}"
-            f"-moments{'@host' if host else ''}"
-            f"{'/two-pass' if two_pass else ''}: {est / GB:.2f} GB "
-            f"{'<=' if fits else '>'} {(budget_bytes or 0) / GB:.2f} -> "
-            f"{'SELECTED' if fits else 'skip'}")
-        plan = MemoryPlan(master_dtype=master, frozen_dtype=frozen_dtype,
-                          accum_dtype=accum_dtype, fused_apply=fused,
-                          moment_dtype=moment, attn_impl="flash",
-                          remat=remat, est_bytes=int(est),
-                          budget_bytes=int(budget_bytes or 0),
-                          reason="\n".join(trace), moments_host=host,
-                          two_pass=two_pass)
-        if fits:
-            return plan
-        if best_fallback is None or est < best_fallback.est_bytes:
-            best_fallback = plan
+        for g in gather_modes:
+            st = state_bytes(trainable_elems, frozen_elems,
+                             master_dtype=master, frozen_dtype=frozen_dtype,
+                             accum_dtype=accum_dtype, moment_dtype=moment,
+                             dp_shard=dp_shard, moments_host=host,
+                             fused=fused, two_pass=two_pass, gather_once=g)
+            est = st["peak_state"] + act + _RESERVE_BYTES
+            fits = budget_bytes is None or est <= budget_bytes
+            trace.append(
+                f"{jnp.dtype(master).name}-master/"
+                f"{'fused' if fused else jnp.dtype(accum_dtype).name + '-accum'}/"
+                f"{moment if isinstance(moment, str) else jnp.dtype(moment).name}"
+                f"-moments{'@host' if host else ''}"
+                f"{'/two-pass' if two_pass else ''}"
+                f"{'/gather-once' if g and dp_shard > 1 else ''}: "
+                f"{est / GB:.2f} GB "
+                f"{'<=' if fits else '>'} {(budget_bytes or 0) / GB:.2f} -> "
+                f"{'SELECTED' if fits else 'skip'}")
+            plan = MemoryPlan(master_dtype=master, frozen_dtype=frozen_dtype,
+                              accum_dtype=accum_dtype, fused_apply=fused,
+                              moment_dtype=moment, attn_impl="flash",
+                              remat=remat, est_bytes=int(est),
+                              budget_bytes=int(budget_bytes or 0),
+                              reason="\n".join(trace), moments_host=host,
+                              two_pass=two_pass, gather_once=g)
+            if fits:
+                return _gate_fast_backward(
+                    plan, batch_per_device, tokens,
+                    ws_bytes_per_unit=_ANIMA_FAST_BWD_BYTES_PER_TOKEN)
+            if best_fallback is None or est < best_fallback.est_bytes:
+                best_fallback = plan
     print("WARNING: no Anima state layout fits the estimated HBM budget; "
           "attempting the smallest candidate.\n" + "\n".join(trace))
-    return best_fallback
+    return _gate_fast_backward(
+        best_fallback, batch_per_device, tokens,
+        ws_bytes_per_unit=_ANIMA_FAST_BWD_BYTES_PER_TOKEN)
 
 
 def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
@@ -416,47 +490,86 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
         ladder = [(attn_pref, remat_override, None)]
 
     best_fallback = None  # smallest-estimate candidate, if nothing fits
+    gather_modes = [True, False] if dp_shard > 1 else [True]
     for master, accum_dtype, fused, moment, host, two_pass in state_candidates:
         frozen_dtype = jnp.bfloat16 if master == jnp.bfloat16 else jnp.float32
-        st = state_bytes(trainable_elems, frozen_elems,
-                         master_dtype=master, frozen_dtype=frozen_dtype,
-                         accum_dtype=accum_dtype, moment_dtype=moment,
-                         dp_shard=dp_shard, moments_host=host, fused=fused,
-                         two_pass=two_pass)
-        for attn_impl, remat, tier in ladder:
-            act = activation_bytes(attn_impl, remat, batch_per_device,
-                                   max_latent_pixels, tier)
+        st_by_mode = {
+            g: state_bytes(trainable_elems, frozen_elems,
+                           master_dtype=master, frozen_dtype=frozen_dtype,
+                           accum_dtype=accum_dtype, moment_dtype=moment,
+                           dp_shard=dp_shard, moments_host=host, fused=fused,
+                           two_pass=two_pass, gather_once=g)
+            for g in gather_modes}
+        # first-fitting ladder rung per gather mode.  gather-once (one
+        # bf16 all-gather per weight per step, no activation resharding)
+        # costs the full bf16 weight tree resident; sharded compute frees
+        # that HBM for a faster remat rung.  The r2 ladder's adjacent
+        # rungs differ by only ~1-3 ms while the ICI saving is ~50-100 ms
+        # per step, so gather-once wins unless dropping it enables a rung
+        # >= 2 positions faster (e.g. 1536px dp8: fulltop vs full remat).
+        fit_by_mode: dict[bool, tuple] = {}
+        for g in gather_modes:
+            st = st_by_mode[g]
+            for idx, (attn_impl, remat, tier) in enumerate(ladder):
+                act = activation_bytes(attn_impl, remat, batch_per_device,
+                                       max_latent_pixels, tier)
+                est = st["peak_state"] + act + _RESERVE_BYTES
+                fits = budget_bytes is None or est <= budget_bytes
+                trace.append(
+                    f"{jnp.dtype(master).name}-master/"
+                    f"{'fused' if fused else jnp.dtype(accum_dtype).name + '-accum'}/"
+                    f"{moment if isinstance(moment, str) else jnp.dtype(moment).name}-moments"
+                    f"{'@host' if host else ''}"
+                    f"{'/two-pass' if two_pass else ''}"
+                    f"{'/gather-once' if g and dp_shard > 1 else ''}"
+                    f" + {attn_impl}/remat={remat}{f'[{tier}]' if tier else ''}: "
+                    f"state {st['peak_state'] / GB:.2f} + act {act / GB:.2f} "
+                    f"+ reserve {_RESERVE_BYTES / GB:.2f} = {est / GB:.2f} GB "
+                    f"{'<= ' if fits else '> '}"
+                    f"{(budget_bytes or 0) / GB:.2f} -> "
+                    f"{'fits' if fits else 'skip'}")
+                if fits:
+                    fit_by_mode[g] = (idx, attn_impl, remat, tier, int(est))
+                    break
+                plan = MemoryPlan(
+                    master_dtype=master, frozen_dtype=frozen_dtype,
+                    accum_dtype=accum_dtype, fused_apply=fused,
+                    moment_dtype=moment, attn_impl=attn_impl, remat=remat,
+                    est_bytes=int(est), budget_bytes=int(budget_bytes or 0),
+                    reason="\n".join(trace), moments_host=host,
+                    two_pass=two_pass,
+                    remat_thresholds=((4160, int(max_latent_pixels))
+                                      if tier == "fulltop" else None),
+                    gather_once=g)
+                if best_fallback is None or est < best_fallback.est_bytes:
+                    best_fallback = plan
+        if fit_by_mode:
+            g = (True in fit_by_mode
+                 and (False not in fit_by_mode
+                      or fit_by_mode[True][0] <= fit_by_mode[False][0] + 1))
+            idx, attn_impl, remat, tier, est = fit_by_mode[g]
             # "fulltop": full-remat exactly the top (largest-token) level;
             # a unit is top-level iff its token count equals the bucket's
             # latent-pixel count
             thresholds = ((4160, int(max_latent_pixels)) if tier == "fulltop"
                           else None)
-            est = st["peak_state"] + act + _RESERVE_BYTES
-            fits = budget_bytes is None or est <= budget_bytes
             trace.append(
-                f"{jnp.dtype(master).name}-master/"
-                f"{'fused' if fused else jnp.dtype(accum_dtype).name + '-accum'}/"
-                f"{moment if isinstance(moment, str) else jnp.dtype(moment).name}-moments"
-                f"{'@host' if host else ''}"
-                f"{'/two-pass' if two_pass else ''}"
-                f" + {attn_impl}/remat={remat}{f'[{tier}]' if tier else ''}: "
-                f"state {st['peak_state'] / GB:.2f} + act {act / GB:.2f} "
-                f"+ reserve {_RESERVE_BYTES / GB:.2f} = {est / GB:.2f} GB "
-                f"{'<= ' if fits else '> '}"
-                f"{(budget_bytes or 0) / GB:.2f} -> "
-                f"{'SELECTED' if fits else 'skip'}")
+                f"-> SELECTED {attn_impl}/remat={remat}"
+                f"{f'[{tier}]' if tier else ''} with "
+                f"{'gather-once' if g else 'dp-sharded'} compute weights"
+                if dp_shard > 1 else
+                f"-> SELECTED {attn_impl}/remat={remat}"
+                f"{f'[{tier}]' if tier else ''}")
             plan = MemoryPlan(
                 master_dtype=master, frozen_dtype=frozen_dtype,
                 accum_dtype=accum_dtype, fused_apply=fused,
                 moment_dtype=moment, attn_impl=attn_impl, remat=remat,
                 est_bytes=int(est), budget_bytes=int(budget_bytes or 0),
                 reason="\n".join(trace), moments_host=host,
-                two_pass=two_pass, remat_thresholds=thresholds)
-            if fits:
-                return _gate_fast_backward(plan, batch_per_device,
-                                           max_latent_pixels)
-            if best_fallback is None or est < best_fallback.est_bytes:
-                best_fallback = plan
+                two_pass=two_pass, remat_thresholds=thresholds,
+                gather_once=g)
+            return _gate_fast_backward(plan, batch_per_device,
+                                       max_latent_pixels)
 
     # Nothing fits the estimate.  The estimator is deliberately
     # conservative, so attempt the smallest-footprint configuration with a
@@ -503,6 +616,11 @@ def describe_plan(plan: MemoryPlan, *, verbose: bool = False) -> str:
            f"{plan.remat_thresholds[1]} tokens)"
            if plan.remat_thresholds else ""),
     ]
+    if not plan.gather_once:
+        lines.append(
+            "INFO:   multi-chip weights: dp-sharded compute (per-consumer "
+            "gathers — HBM freed for a faster remat rung; gather-once "
+            "replicas did not fit)")
     if not plan.fast_backward:
         lines.append(
             "INFO:   backward: legacy (GEMM conv backward + fused QKV "

@@ -63,38 +63,84 @@ class TrainStepConfig:
     # single-chip mode; the per-micro-step contribution is still computed
     # in the gradient dtype and divided by GA before the cast)
     accum_dtype: Any = jnp.float32
+    # multi-chip weight layout during compute (memory_policy): True pins
+    # bf16 compute copies dp-gathered (one all-gather per weight per step);
+    # False keeps them dp-sharded to free HBM for a faster remat rung
+    gather_once: bool = True
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _fwd_sharding_constraint(x, sharding):
-    """with_sharding_constraint applied to the FORWARD value only.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _fwd_sharding_constraint(x, storage_sharding, compute_sharding):
+    """Two sharding constraints applied to the FORWARD value only.
 
-    Used to pin the bf16 weight copy to its FSDP (sharded) layout so GSPMD
-    all-gathers the bf16 cast instead of the fp32 master — halving the
-    per-step ICI weight-gather payload (measured 23.4 GB of f32 all-gather
-    per dp8 micro-step in MULTICHIP_ESTIMATES_r04).  A plain
-    with_sharding_constraint would also constrain the cotangent, forcing
-    the weight-grad reduction to happen in bf16 — a numerics change; this
-    custom VJP passes the cotangent through untouched, leaving the grad
-    all-reduce placement/dtype exactly as before.
+    The bf16 cast of a master weight is pinned FIRST to its storage
+    (FSDP-sharded) layout — so the f32->bf16 convert runs shard-local and
+    GSPMD cannot hoist the dp all-gather above it onto the fp32 master
+    (it does exactly that if only the gathered layout is annotated:
+    measured 30 MB of f32 all-gather on convert_element_type in the TINY
+    dp8 post-SPMD dump) — and THEN to its compute layout (storage spec
+    minus the dp axis), which makes the sharded->gathered resharding an
+    explicit bf16 all-gather, once per weight per micro-step.
+
+    A plain with_sharding_constraint would also constrain the cotangent's
+    placement; this custom VJP passes the cotangent through untouched,
+    leaving GSPMD free to place the weight-grad reduction optimally
+    (reduce-scatter into the FSDP layout of the master's gradient).
     """
-    return jax.lax.with_sharding_constraint(x, sharding)
+    x = jax.lax.with_sharding_constraint(x, storage_sharding)
+    return jax.lax.with_sharding_constraint(x, compute_sharding)
 
 
-def _fsc_fwd(x, sharding):
-    return jax.lax.with_sharding_constraint(x, sharding), None
+def _fsc_fwd(x, storage_sharding, compute_sharding):
+    x = jax.lax.with_sharding_constraint(x, storage_sharding)
+    return jax.lax.with_sharding_constraint(x, compute_sharding), None
 
 
-def _fsc_bwd(_sharding, _res, g):
+def _fsc_bwd(_storage, _compute, _res, g):
     return (g,)
 
 
 _fwd_sharding_constraint.defvjp(_fsc_fwd, _fsc_bwd)
 
 
-def precast_params(tree: Params, shardings, compute_dtype) -> Params:
-    """Cast matmul/conv weights (ndim >= 2) to the compute dtype UNDER
-    their storage sharding, so the downstream all-gather moves bf16.
+def _compute_sharding(storage_sharding):
+    """The layout a weight should have DURING compute: its storage spec
+    with the ``dp`` (FSDP) axis removed — i.e. gathered once per step over
+    dp, still sharded over tp/pp where the storage says so.
+
+    Leaving the bf16 copy pinned to the *storage* (dp-sharded) layout let
+    GSPMD make per-consumer resharding choices that the r4 TINY-dp8
+    post-SPMD dump shows to be pathological: every weight all-gathered
+    TWICE (fwd + bwd transpose), forward dots partitioned along the
+    contracting dim (146 bf16 all-reduces on activations), and the
+    fused-QKV GEMM output left feature-sharded (286 collective-permutes +
+    an all-to-all swarm around the q/k/v split).  Pinning the compute copy
+    to the dp-gathered layout makes every consumer local: ONE bf16
+    all-gather per weight per micro-step, zero activation resharding, and
+    the gather's transpose is exactly the reduce-scatter of the weight
+    grad into its FSDP shard (ZeRO-2-style compute replicas; the fp32
+    master, moments, and accum stay dp-sharded).
+    """
+    spec = storage_sharding.spec
+    new = tuple(None if ax == "dp"
+                else (tuple(a for a in ax if a != "dp") or None
+                      if isinstance(ax, tuple) else ax)
+                for ax in spec)
+    if all(ax is None for ax in new):
+        new = ()
+    from jax.sharding import NamedSharding, PartitionSpec
+    return NamedSharding(storage_sharding.mesh, PartitionSpec(*new))
+
+
+def precast_params(tree: Params, shardings, compute_dtype,
+                   gather_once: bool = True) -> Params:
+    """Cast matmul/conv weights (ndim >= 2) to the compute dtype and pin
+    them to their COMPUTE layout (``gather_once``: storage spec minus the
+    dp axis), so the dp all-gather moves bf16 and happens once per weight
+    per step.  ``gather_once=False`` keeps the compute copy pinned to the
+    storage layout instead — per-consumer gathers (~2x weight traffic)
+    but no resident bf16 weight tree, which the memory planner trades at
+    big buckets (memory_policy.MemoryPlan.gather_once).
 
     1-D params (norm scales, biases) keep the master dtype — GroupNorm/
     RMSNorm consume them in fp32 (models/sdxl/unet.py:111) and their
@@ -105,7 +151,9 @@ def precast_params(tree: Params, shardings, compute_dtype) -> Params:
     if shardings is None:
         return tree
     return {k: (_fwd_sharding_constraint(v.astype(compute_dtype),
-                                         shardings[k])
+                                         shardings[k],
+                                         _compute_sharding(shardings[k])
+                                         if gather_once else shardings[k])
                 if v.ndim >= 2 else v)
             for k, v in tree.items()}
 
@@ -116,8 +164,10 @@ def make_loss_fn(cfg: TrainStepConfig, param_shardings=None):
     def loss_fn(trainable: Params, frozen: Params, latents, embeds, pooled,
                 time_ids, timesteps, sample_mask, loss_weights, seed,
                 micro_step):
-        params = {**precast_params(frozen, f_sh, cfg.compute_dtype),
-                  **precast_params(trainable, t_sh, cfg.compute_dtype)}
+        params = {**precast_params(frozen, f_sh, cfg.compute_dtype,
+                                   cfg.gather_once),
+                  **precast_params(trainable, t_sh, cfg.compute_dtype,
+                                   cfg.gather_once)}
         noise = objectives.noise_for_step(seed, micro_step, latents.shape)
         rf_jitter = (objectives.rf_jitter_for_step(seed, micro_step,
                                                    latents.shape[0])

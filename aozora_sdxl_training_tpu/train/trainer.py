@@ -300,14 +300,10 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
         remat_override=_sdxl_remat_mode(),
         master_override=str(getattr(config, "MASTER_DTYPE", "auto")))
     print(memory_policy.describe_plan(plan))
-    # The r4 fast-backward rewrites (GEMM conv backward, fused QKV) are
-    # trace-time env knobs; the plan decides whether their workspace fits
-    # (an explicit user AOZORA_* pin always wins — setdefault).
-    import os as _os
-    _os.environ.setdefault("AOZORA_CONV_BWD",
-                           "gemm2" if plan.fast_backward else "xla")
-    _os.environ.setdefault("AOZORA_FUSED_QKV",
-                           "1" if plan.fast_backward else "0")
+    # The r4 fast-backward rewrites (GEMM conv backward, fused QKV,
+    # flash@1024) are trace-time env knobs; the plan decides whether their
+    # workspace fits (an explicit user AOZORA_* pin always wins).
+    memory_policy.apply_fast_backward_knobs(plan)
     if plan.moment_dtype != opt_cfg.momentum_dtype:
         print("WARNING: moment storage downgraded to int8_blockwise to fit "
               "the HBM budget (update math is unchanged — fp32 scratch).")
@@ -344,7 +340,8 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
         compute_dtype=config.compute_dtype,
         remat=plan.remat,
         remat_thresholds=plan.remat_thresholds,
-        accum_dtype=(plan.accum_dtype or jnp.float32))
+        accum_dtype=(plan.accum_dtype or jnp.float32),
+        gather_once=plan.gather_once)
 
     from .sampler import PreviewRenderer
     preview = PreviewRenderer(config, unet_cfg,
@@ -370,7 +367,12 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
             "replicated": shard.replicated(mesh),
         }
 
-    opt_state = adamw.init_state(trainable, opt_cfg)
+    # Decide restore-vs-fresh BEFORE allocating anything on device: the
+    # restored leaves are host numpy (ckpt.train_state), and initializing
+    # a zero moment tree first would put ~2x trainable bytes of dead
+    # zeros next to the restored tree — the double residency that OOMed
+    # the r4 full-size Anima resume on v5e-1.
+    opt_state = None
     if resume_opt_state is not None:
         loaded_m = {k: v for k, v in resume_opt_state.exp_avg.items() if k in trainable}
         loaded_v = {k: v for k, v in resume_opt_state.exp_avg_sq.items() if k in trainable}
@@ -381,6 +383,9 @@ def run_sdxl_training(config, *, unet_cfg: UNetConfig | None = None) -> None:
         else:
             print("WARNING: Resume optimizer state does not match trainable set; "
                   "starting moments fresh.")
+    if opt_state is None:
+        opt_state = adamw.init_state(trainable, opt_cfg)
+    del resume_opt_state
     if shardings is not None:
         shardings["opt_state"] = shard.opt_state_shardings(opt_state, mesh)
         trainable = shard.put_tree(trainable, shardings["trainable"])

@@ -68,7 +68,15 @@ def test_v5e8_fsdp_keeps_fp32_master_and_fast_remat():
     assert p.master_dtype == jnp.float32
     assert p.accum_dtype == jnp.float32 and not p.fused_apply
     assert p.moment_dtype == jnp.bfloat16      # no downgrade needed
-    assert (p.attn_impl, p.remat) == ("flash", False)  # fastest fits
+    # r5: gather-once compute replicas (train_step._compute_sharding)
+    # keep the full 5.1 GB bf16 weight tree resident during the step —
+    # no-remat activations (9.0 GB) no longer fit next to it, so the
+    # planner drops one rung to hires remat (+3 ms compute, r2 table) in
+    # exchange for ~half the per-step ICI weight traffic and zero
+    # activation resharding.  One rung is within the gather-once
+    # preference window, so the plan keeps gather-once.
+    assert (p.attn_impl, p.remat) == ("flash", "dots_no_logits_hires")
+    assert p.gather_once
 
 
 def test_unconstrained_budget_picks_fastest():
@@ -88,10 +96,14 @@ def test_1536px_dp8_selects_fulltop_tier():
     # r4 (VERDICT r3 #5): with FSDP freeing the state, the 3-tier policy
     # (top level FULL remat, mid dots_no_logits, small resident) fits at
     # 1536px where plain hires misses by ~132 MB — the planner must pick
-    # it over falling all the way to full remat
+    # it over falling all the way to full remat.  r5: the 5.1 GB of
+    # gather-once compute replicas would force full remat (2 rungs
+    # slower) at this bucket, so the planner trades gather-once away and
+    # keeps the faster fulltop rung on dp-sharded compute weights.
     p = plan(dp_shard=8, ga_steps=4, max_latent_pixels=LATPIX_1536)
     assert p.remat == "dots_no_logits_hires"
     assert p.remat_thresholds == (4160, LATPIX_1536)
+    assert not p.gather_once
 
 
 def test_fulltop_tier_never_offered_at_1024px():
@@ -301,6 +313,54 @@ def test_anima_plan_single_chip_low_memory():
     assert p.fused_apply and p.moment_dtype == jnp.bfloat16
     assert p.two_pass and not p.moments_host
     assert p.est_bytes <= V5E
+
+
+def test_anima_fast_backward_gated_on_single_chip():
+    """ADVICE r4 #1: the anima planner must model the fused-QKV backward
+    workspace on the 2.09B single-chip low-memory rungs — the same class
+    of compile-OOM the SDXL gate prevents (r4: 23.32 GB anima compile vs
+    14.00 est)."""
+    p = mp.plan_anima_training(
+        trainable_elems=2_090_000_000, frozen_elems=0, batch_per_device=1,
+        tokens=4096, ga_steps=1, remat="conservative", dp_shard=1,
+        requested_moment_dtype=jnp.bfloat16, budget_bytes=V5E)
+    assert p.low_memory
+    ws = mp._ANIMA_FAST_BWD_BYTES_PER_TOKEN * 4096
+    # the gate's arithmetic, not a re-derivation: gated iff est + ws > budget
+    assert p.fast_backward == (p.est_bytes + ws <= V5E)
+
+
+def test_apply_fast_backward_knobs(monkeypatch):
+    """The plan's fast-backward decision must land in the trace-time env
+    knobs: gated -> the FULL legacy trio incl. flash@2048 (flash@1024
+    alone is a measured regression, ADVICE r4 #2); a later plan must
+    overwrite a value a previous plan set (no stale setdefault), while an
+    explicit user pin wins."""
+    from dataclasses import replace
+
+    for k in ("AOZORA_CONV_BWD", "AOZORA_FUSED_QKV", "AOZORA_FLASH_MIN_KV"):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setattr(mp, "_APPLIED_KNOBS", {})
+
+    gated = replace(plan(), fast_backward=False)
+    mp.apply_fast_backward_knobs(gated)
+    import os
+    assert os.environ["AOZORA_CONV_BWD"] == "xla"
+    assert os.environ["AOZORA_FUSED_QKV"] == "0"
+    assert os.environ["AOZORA_FLASH_MIN_KV"] == "2048"
+
+    # a second run in the same process with fast_backward=True must win
+    # over what WE set before (GUI multi-run processes)
+    mp.apply_fast_backward_knobs(replace(gated, fast_backward=True))
+    assert os.environ["AOZORA_CONV_BWD"] == "gemm2"
+    assert os.environ["AOZORA_FUSED_QKV"] == "1"
+    assert os.environ["AOZORA_FLASH_MIN_KV"] == "1024"
+
+    # an explicit user pin (value we did not set) survives both decisions
+    monkeypatch.setenv("AOZORA_CONV_BWD", "gemm")
+    mp.apply_fast_backward_knobs(gated)
+    assert os.environ["AOZORA_CONV_BWD"] == "gemm"
+    assert os.environ["AOZORA_FUSED_QKV"] == "0"
 
 
 def test_anima_plan_fsdp_keeps_fp32():

@@ -118,12 +118,20 @@ def test_sharded_training_matches_single_device():
 
 
 @requires_8
-def test_fsdp_weight_gather_moves_bf16_not_fp32():
+def test_fsdp_weight_gather_moves_bf16_not_fp32(tmp_path):
     """The weight precast (train_step.precast_params) must make the FSDP
     forward all-gather move the bf16 cast of each >=2-D weight, not the
     fp32 master: MULTICHIP_ESTIMATES_r04 measured 23.4 GB of f32
     all-gather per full-size dp8 micro-step before the fix — exactly 2x
-    the necessary ICI traffic."""
+    the necessary ICI traffic.
+
+    Measured on the post-SPMD-partitioner dump, NOT the final HLO: the
+    CPU backend has no native bf16 collectives/convs, so its float
+    normalization legalizes every bf16 all-gather to f32 (verified on a
+    minimal explicit bf16 resharding — the final CPU HLO shows
+    f32->bf16->f32 fused *before* an f32 gather).  The partitioner dump
+    is the backend-independent truth of what a TPU moves over ICI."""
+    import glob
     import re
 
     cfg = TrainStepConfig(unet=TINY, prediction_type="v_prediction",
@@ -157,7 +165,14 @@ def test_fsdp_weight_gather_moves_bf16_not_fp32():
             jnp.ones((b,), jnp.float32), jnp.ones(1000, jnp.float32),
             jnp.asarray(42, jnp.int32), jnp.asarray(1, jnp.int32),
             jnp.asarray(0.0, jnp.float32))
-    hlo = micro8.lower(*args).compile().as_text()
+    micro8.lower(*args).compile(compiler_options={
+        "xla_dump_to": str(tmp_path),
+        "xla_dump_hlo_pass_re": "spmd-partitioning"})
+    dumps = [f for f in
+             glob.glob(str(tmp_path / "*after_spmd-partitioning*.txt"))
+             if "micro_step" in f]
+    assert dumps, "no post-SPMD dump produced"
+    hlo = open(dumps[-1]).read()
 
     gather_bytes = {"bf16": 0, "f32": 0}
     pat = re.compile(r"=\s*(\w+)\[([\d,]*)\][^=]*\ball?-gather(?:-start)?\(")
@@ -174,6 +189,55 @@ def test_fsdp_weight_gather_moves_bf16_not_fp32():
     # only 1-D (norm/bias) params may still gather f32 — a sliver next to
     # the >=2-D weights
     assert gather_bytes["f32"] <= 0.05 * gather_bytes["bf16"], gather_bytes
+
+
+@requires_8
+def test_gather_modes_lower():
+    """Both planner gather modes (gather-once compute replicas vs
+    dp-sharded compute weights, memory_policy.MemoryPlan.gather_once)
+    must trace+lower over the mesh; and the compute-layout helper strips
+    exactly the dp axis."""
+    from aozora_sdxl_training_tpu.train.train_step import _compute_sharding
+
+    mesh = shard.make_mesh(jax.devices())
+    ns = jax.sharding.NamedSharding
+    assert _compute_sharding(ns(mesh, P("dp", None))).spec == P()
+    assert _compute_sharding(ns(mesh, P(None, "dp"))).spec == P()
+    mesh2 = shard.make_mesh(jax.devices(), dp=4, tp=2)
+    assert _compute_sharding(ns(mesh2, P("dp", "tp"))).spec == P(None, "tp")
+    assert _compute_sharding(ns(mesh2, P(("dp", "tp"), None))).spec \
+        == P(("tp",), None)
+
+    opt_cfg = adamw.AdamWConfig(momentum_dtype=jnp.float32)
+    params = init_params(TINY, jax.random.PRNGKey(0))
+    trainable, frozen = split_trainable(params, ["conv1", "conv2"])
+    shardings = {
+        "trainable": shard.params_shardings(trainable, mesh,
+                                            min_shard_elements=1024),
+        "frozen": shard.params_shardings(frozen, mesh,
+                                         min_shard_elements=1024),
+        "grad_accum": shard.params_shardings(trainable, mesh,
+                                             min_shard_elements=1024),
+        "opt_state": None,
+        "batch": jax.sharding.NamedSharding(mesh, P("dp")),
+        "replicated": shard.replicated(mesh),
+    }
+    b = 8
+    args = (trainable, frozen, zero_grad_accum(trainable),
+            jnp.zeros((b, 8, 8, 4)),
+            jnp.zeros((b, 7, TINY.cross_attention_dim)),
+            jnp.zeros((b, TINY.pooled_projection_dim)),
+            jnp.ones((b, 6)), jnp.zeros((b,), jnp.int32),
+            jnp.ones((b,), jnp.float32), jnp.ones(1000, jnp.float32),
+            jnp.asarray(42, jnp.int32), jnp.asarray(1, jnp.int32),
+            jnp.asarray(0.0, jnp.float32))
+    for gather_once in (True, False):
+        cfg = TrainStepConfig(unet=TINY, prediction_type="v_prediction",
+                              grad_accum_steps=1, clip_grad_norm=1.0,
+                              attn_impl="xla", compute_dtype=jnp.bfloat16,
+                              remat=False, gather_once=gather_once)
+        micro8, _ = jit_train_functions(cfg, opt_cfg, shardings=shardings)
+        micro8.lower(*args)  # trace + lower only; compile is minutes
 
 
 def test_tp_param_spec_rules():

@@ -9,9 +9,14 @@ train step at FULL model size (compile-only, abstract avals — runs on the
 virtual CPU mesh), then reports
 
 * per-chip memory from the compiler's buffer assignment,
-* per-step collective traffic mined from the optimized HLO — every
+* per-step collective traffic mined from the POST-SPMD-PARTITIONER dump
+  (r5: the final CPU HLO legalizes every bf16 collective to f32 because
+  the CPU backend has no native bf16 ops — the r4 artifact's 23.4 GB of
+  "f32 all-gather" was that artifact, not what a TPU moves) — every
   all-reduce / all-gather / reduce-scatter / collective-permute /
-  all-to-all op with its payload bytes and group size,
+  all-to-all op with its payload bytes and group size; an all-reduce
+  whose only consumer is a partition-offset dynamic-slice is counted as
+  the reduce-scatter the TPU pipeline rewrites it into,
 * ICI time bounds under a stated bandwidth model (below),
 * projected step time = measured single-chip compute step (BENCH_r04)
   combined with the ICI time as [overlapped, serial] bounds.
@@ -83,15 +88,43 @@ def _group_size(line: str) -> int:
     return N_DEV
 
 
+def _reduce_scatter_rewrites(hlo_text: str) -> set[str]:
+    """Names of all-reduce ops whose only consumer is a dynamic-slice —
+    the pattern GSPMD emits for a sharded-sum output, which the TPU
+    pipeline's ReduceScatterCreator rewrites into a reduce-scatter (cost
+    (N-1)/N x full buffer instead of 2(N-1)/N)."""
+    ar_names = set()
+    for m in re.finditer(r"%((?:all-reduce)[.\w]*)\s*=", hlo_text):
+        ar_names.add(m.group(1))
+    # count consumers per all-reduce
+    uses: dict[str, list[str]] = {n: [] for n in ar_names}
+    for line in hlo_text.splitlines():
+        lm = re.match(r"\s*(?:ROOT\s+)?%([-.\w]+)\s*=\s*\S+\s+([-\w]+)\(",
+                      line)
+        if not lm:
+            continue
+        op = lm.group(2)
+        for n in re.findall(r"%([-.\w]+)", line.split("=", 1)[1]):
+            if n in uses and n != lm.group(1):
+                uses[n].append(op)
+    return {n for n, ops in uses.items()
+            if ops and all(o == "dynamic-slice" for o in ops)}
+
+
 def mine_collectives(hlo_text: str) -> dict:
     """Per-op-kind payload bytes + modelled per-chip ICI ring cost."""
     by_kind: dict[str, dict] = {}
     ici_bytes = 0.0
+    rs_rewrites = _reduce_scatter_rewrites(hlo_text)
     for line in hlo_text.splitlines():
         m = _COLLECTIVE_RE.search(line)
         if not m:
             continue
         result_shapes, kind = m.group(1), m.group(2)
+        nm = re.match(r"\s*(?:ROOT\s+)?%([-.\w]+)\s*=", line)
+        if (kind == "all-reduce" and nm
+                and nm.group(1) in rs_rewrites):
+            kind = "reduce-scatter(from-all-reduce)"
         size = _shape_bytes(result_shapes)
         n = _group_size(line)
         if n <= 1 or size == 0:
@@ -99,7 +132,8 @@ def mine_collectives(hlo_text: str) -> dict:
         # ring cost in bytes crossing each chip's ICI links
         if kind == "all-reduce":
             cost = 2.0 * (n - 1) / n * size
-        elif kind in ("all-gather", "all-to-all"):
+        elif kind in ("all-gather", "all-to-all",
+                      "reduce-scatter(from-all-reduce)"):
             cost = (n - 1) / n * size            # result is the full buffer
         elif kind == "reduce-scatter":
             cost = (n - 1) * size                # result is the shard
@@ -138,9 +172,28 @@ def mem_analysis(compiled) -> dict | None:
         return {"error": str(e)}
 
 
+def compile_with_spmd_dump(lowered, tag: str):
+    """Compile with an xla_dump of the post-SPMD-partitioner module and
+    return (compiled, post_spmd_hlo_text) — the backend-independent truth
+    of the collectives (the final CPU HLO legalizes bf16 away)."""
+    import glob
+    import shutil
+    dump = f"/tmp/mce_dump_{tag}"
+    shutil.rmtree(dump, ignore_errors=True)
+    compiled = lowered.compile(compiler_options={
+        "xla_dump_to": dump,
+        "xla_dump_hlo_pass_re": "spmd-partitioning"})
+    files = sorted(glob.glob(dump + "/*after_spmd-partitioning*.txt"),
+                   key=os.path.getsize)
+    if not files:
+        return compiled, compiled.as_text()
+    return compiled, open(files[-1]).read()
+
+
 def analyze(name: str, compiled, compute_ms: float | None,
-            imgs_per_step: int, report: dict) -> None:
-    coll = mine_collectives(compiled.as_text())
+            imgs_per_step: int, report: dict, hlo_text: str | None = None) -> None:
+    coll = mine_collectives(hlo_text if hlo_text is not None
+                            else compiled.as_text())
     entry = {"memory": mem_analysis(compiled), "collectives": coll}
     if compute_ms is not None:
         ici_ms = coll["ici_time_ms"]
@@ -167,7 +220,7 @@ def sds(shape, dtype):
 
 def main() -> None:
     args = dict(a.split("=") for a in sys.argv[1:] if "=" in a)
-    out_path = args.get("out", "MULTICHIP_ESTIMATES_r04.json")
+    out_path = args.get("out", "MULTICHIP_ESTIMATES_r05.json")
 
     from aozora_sdxl_training_tpu.models.anima import dit as dit_mod
     from aozora_sdxl_training_tpu.models.sdxl.arch import SDXL_BASE, param_shapes
@@ -194,11 +247,13 @@ def main() -> None:
         "knob_env": {k: os.environ[k] for k in
                      ("AOZORA_FUSED_QKV", "AOZORA_CONV_BWD",
                       "AOZORA_FLASH_MIN_KV") if k in os.environ},
-        "knob_note": "collective volumes/memory are driven by param+grad "
-                     "layout and shardings, which the r4 default knobs "
-                     "(fused QKV trace rewrite, GEMM conv backward, flash "
-                     "dispatch threshold) do not change; runs may pin the "
-                     "legacy knobs to reuse the CPU compile cache",
+        "knob_note": "r5: steps are built WITH param_shardings, so the "
+                     "bf16 weight precast + gather-once compute layout "
+                     "(train_step.precast_params) is in the mined "
+                     "programs, and collectives are mined from the "
+                     "post-SPMD dump (backend-independent dtypes). The "
+                     "trace-rewrite knobs alter op counts marginally but "
+                     "not the weight/grad collective volumes.",
         "configs": {},
     }
 
@@ -230,13 +285,17 @@ def main() -> None:
                       sds((b,), jnp.int32), sds((b,), jnp.float32))
         scalars = (sds((1000,), jnp.float32), sds((), jnp.int32),
                    sds((), jnp.int32), sds((), jnp.float32))
-        micro = jax.jit(make_micro_step(step_cfg), donate_argnums=(2,),
+        micro = jax.jit(make_micro_step(step_cfg,
+                                        param_shardings=(sh_t, sh_f)),
+                        donate_argnums=(2,),
                         in_shardings=(sh_t, sh_f, sh_a, *([sh_b] * 6),
                                       *([sh_r] * 4)),
                         out_shardings=(sh_r, sh_r, sh_a))
-        compiled = micro.lower(trainable, frozen, accum, *batch_args,
-                               *scalars).compile()
-        analyze(f"sdxl_{tag}_micro", compiled, SDXL_MS, dp, report)
+        compiled, spmd = compile_with_spmd_dump(
+            micro.lower(trainable, frozen, accum, *batch_args, *scalars),
+            f"sdxl_{tag}_micro")
+        analyze(f"sdxl_{tag}_micro", compiled, SDXL_MS, dp, report,
+                hlo_text=spmd)
 
         opt_cfg = adamw.AdamWConfig()
         opt_state = adamw.AdamWState(
@@ -248,9 +307,11 @@ def main() -> None:
                          donate_argnums=(0, 1, 2),
                          in_shardings=(sh_t, sh_a, sh_o, sh_r),
                          out_shardings=(sh_t, sh_o, sh_r, sh_r))
-        compiled = apply_.lower(trainable, accum, opt_state,
-                                sds((), jnp.float32)).compile()
-        analyze(f"sdxl_{tag}_apply", compiled, None, dp, report)
+        compiled, spmd = compile_with_spmd_dump(
+            apply_.lower(trainable, accum, opt_state, sds((), jnp.float32)),
+            f"sdxl_{tag}_apply")
+        analyze(f"sdxl_{tag}_apply", compiled, None, dp, report,
+                hlo_text=spmd)
 
     def anima_micro(dp: int, tp: int, sp: int, tag: str,
                     attn_impl="xla") -> None:
@@ -269,7 +330,8 @@ def main() -> None:
                                      base_impl="xla")
         micro = make_anima_micro_step(cfg, grad_accum_steps=1,
                                       compute_dtype=jnp.bfloat16,
-                                      attn_impl=attn_impl, remat=True)
+                                      attn_impl=attn_impl, remat=True,
+                                      param_shardings=(sh_p, {}))
         micro = jax.jit(micro, donate_argnums=(2,),
                         in_shardings=(sh_p, {}, sh_p, *([sh_b] * 5), None,
                                       *([sh_r] * 4)),
@@ -279,11 +341,13 @@ def main() -> None:
                  sds((b, 512, cfg.adapter_source_dim), jnp.bfloat16),
                  sds((b, 512), jnp.int32),
                  sds((b,), jnp.int32), sds((b,), jnp.float32), None)
-        compiled = micro.lower(train, {}, accum, *batch,
-                               sds((1000,), jnp.float32), sds((), jnp.int32),
-                               sds((), jnp.int32),
-                               sds((), jnp.float32)).compile()
-        analyze(f"anima_{tag}_micro", compiled, ANIMA_MS, dp, report)
+        compiled, spmd = compile_with_spmd_dump(
+            micro.lower(train, {}, accum, *batch,
+                        sds((1000,), jnp.float32), sds((), jnp.int32),
+                        sds((), jnp.int32), sds((), jnp.float32)),
+            f"anima_{tag}_micro")
+        analyze(f"anima_{tag}_micro", compiled, ANIMA_MS, dp, report,
+                hlo_text=spmd)
 
     def anima_pp(dp: int, pp: int, tag: str) -> None:
         import numpy as np
@@ -320,8 +384,11 @@ def main() -> None:
                        in_shardings=({k: sh_pp for k in stacked},
                                      {k: sh_r for k in rest},
                                      sh_b, sh_b, sh_b, sh_b, sh_b))
-        compiled = step.lower(stacked, rest, lat, ts, ctx, t5, tgt).compile()
-        analyze(f"anima_{tag}_grad", compiled, ANIMA_MS, dp, report)
+        compiled, spmd = compile_with_spmd_dump(
+            step.lower(stacked, rest, lat, ts, ctx, t5, tgt),
+            f"anima_{tag}_grad")
+        analyze(f"anima_{tag}_grad", compiled, ANIMA_MS, dp, report,
+                hlo_text=spmd)
 
     todo = args.get("configs", "sdxl_dp8,sdxl_dp4tp2,anima_dp8,anima_dp2sp4,"
                                "anima_dp2pp4").split(",")
