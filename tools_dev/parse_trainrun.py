@@ -71,8 +71,8 @@ def main() -> None:
         out_path = sys.argv[sys.argv.index("-o") + 1]
         args = [a for a in args if a != out_path]
     report = {"train": parse_log(args[0])}
-    if len(args) > 1:
-        report["resume"] = parse_log(args[1])
+    for path, phase in zip(args[1:], ("resume", "video")):
+        report[phase] = parse_log(path)
     print(json.dumps(report, indent=1))
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
