@@ -165,9 +165,19 @@ def test_fsdp_weight_gather_moves_bf16_not_fp32(tmp_path):
             jnp.ones((b,), jnp.float32), jnp.ones(1000, jnp.float32),
             jnp.asarray(42, jnp.int32), jnp.asarray(1, jnp.int32),
             jnp.asarray(0.0, jnp.float32))
-    micro8.lower(*args).compile(compiler_options={
-        "xla_dump_to": str(tmp_path),
-        "xla_dump_hlo_pass_re": "spmd-partitioning"})
+    # The dump is only written when XLA actually runs its passes: a
+    # persistent-compilation-cache hit (CLI-driving tests earlier in the
+    # suite call enable_compilation_cache(), which sticks for the rest of
+    # the process) skips compilation entirely and yields zero dump files.
+    # Disable the disk cache for this one compile.
+    cache_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        micro8.lower(*args).compile(compiler_options={
+            "xla_dump_to": str(tmp_path),
+            "xla_dump_hlo_pass_re": "spmd-partitioning"})
+    finally:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
     dumps = [f for f in
              glob.glob(str(tmp_path / "*after_spmd-partitioning*.txt"))
              if "micro_step" in f]

@@ -48,7 +48,10 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# NO persistent compilation cache: the post-SPMD dump this tool mines is
+# only written when XLA actually runs its passes — a disk-cache hit would
+# silently fall back to the final CPU HLO, whose bf16 collectives are
+# legalized to f32 (the r4 artifact's bug).
 
 ICI_BW_BYTES = 2 * 45e9        # per-chip ring bandwidth (2 links x 45 GB/s)
 DTYPE_BYTES = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
