@@ -58,11 +58,13 @@ _ACT_BYTES_PER_LATPIX = {
     ("xla", "dots"): 0.70 * MB,
     ("flash", True): 0.05 * MB,
     ("xla", True): 0.05 * MB,
-    # 3-tier (r4): top level FULL remat, mid levels dots_no_logits, small
-    # levels resident.  The 1536px evidence: plain hires measured ~0.293
-    # MB/latpix (OOM by 132 MB on v5e-1 micro-step); full-rematting the
-    # 320-wide no-attention top level drops its dot saves (~0.03
-    # MB/latpix) for a cheap conv recompute.
+    # 3-tier (r4): biggest levels FULL remat, mid levels dots_no_logits,
+    # small levels resident.  The 1536px evidence (r5, measured on v5e-1
+    # micro-step): plain hires ~0.293 MB/latpix OOMs by 132 MB;
+    # full-remat of the top level ONLY still OOMs by 35 MB; full-remat of
+    # the top TWO stride levels (full_tokens = latpix//4) FITS and runs
+    # 870.5 ms/step vs 1016.3 full-remat — the threshold the planner
+    # emits below.
     ("flash", "dots_no_logits_hires", "fulltop"): 0.27 * MB,
     ("xla", "dots_no_logits_hires", "fulltop"): 0.30 * MB,
 }
@@ -538,7 +540,7 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
                     est_bytes=int(est), budget_bytes=int(budget_bytes or 0),
                     reason="\n".join(trace), moments_host=host,
                     two_pass=two_pass,
-                    remat_thresholds=((4160, int(max_latent_pixels))
+                    remat_thresholds=((4160, int(max_latent_pixels) // 4)
                                       if tier == "fulltop" else None),
                     gather_once=g)
                 if best_fallback is None or est < best_fallback.est_bytes:
@@ -551,8 +553,8 @@ def plan_sdxl_training(*, trainable_elems: int, frozen_elems: int,
             # "fulltop": full-remat exactly the top (largest-token) level;
             # a unit is top-level iff its token count equals the bucket's
             # latent-pixel count
-            thresholds = ((4160, int(max_latent_pixels)) if tier == "fulltop"
-                          else None)
+            thresholds = ((4160, int(max_latent_pixels) // 4)
+                          if tier == "fulltop" else None)
             trace.append(
                 f"-> SELECTED {attn_impl}/remat={remat}"
                 f"{f'[{tier}]' if tier else ''} with "

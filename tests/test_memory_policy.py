@@ -102,7 +102,10 @@ def test_1536px_dp8_selects_fulltop_tier():
     # keeps the faster fulltop rung on dp-sharded compute weights.
     p = plan(dp_shard=8, ga_steps=4, max_latent_pixels=LATPIX_1536)
     assert p.remat == "dots_no_logits_hires"
-    assert p.remat_thresholds == (4160, LATPIX_1536)
+    # full_tokens = latpix//4: full-remat the top TWO stride levels — the
+    # r5 on-chip measurement (top-only OOMs by 35 MB; //4 runs 870.5 ms
+    # vs 1016.3 full-remat at 1536px b1)
+    assert p.remat_thresholds == (4160, LATPIX_1536 // 4)
     assert not p.gather_once
 
 

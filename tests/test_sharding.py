@@ -168,16 +168,21 @@ def test_fsdp_weight_gather_moves_bf16_not_fp32(tmp_path):
     # The dump is only written when XLA actually runs its passes: a
     # persistent-compilation-cache hit (CLI-driving tests earlier in the
     # suite call enable_compilation_cache(), which sticks for the rest of
-    # the process) skips compilation entirely and yields zero dump files.
-    # Disable the disk cache for this one compile.
+    # the process) loads a serialized AOT result and yields zero dump
+    # files.  Setting the dir to None is NOT enough: jax memoizes the
+    # cache-used decision in compilation_cache._cache_checked/_cache_used
+    # globals, so reset_cache() must clear them for the disable to take.
+    from jax._src import compilation_cache as _cc
     cache_dir = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
+    _cc.reset_cache()
     try:
         micro8.lower(*args).compile(compiler_options={
             "xla_dump_to": str(tmp_path),
             "xla_dump_hlo_pass_re": "spmd-partitioning"})
     finally:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+        _cc.reset_cache()
     dumps = [f for f in
              glob.glob(str(tmp_path / "*after_spmd-partitioning*.txt"))
              if "micro_step" in f]
